@@ -1,0 +1,180 @@
+"""Flax layers mirroring the reference operator layers, TPU-first.
+
+Behavioral contracts (reference ``integral_operators.py``):
+
+* ``SpectralConv`` = ``SpectralConv{1,2,3}d_Uno`` (:7-72, :127-207, :287-427)
+* ``PointwiseOp``  = ``pointwise_op_{1,2,3}D``    (:75-93, :210-243, :430-468)
+* ``OperatorBlock``= ``OperatorBlock_{1,2,3}D``   (:96-124, :246-284, :471-513)
+
+Initialisation matches torch defaults so training dynamics line up:
+Linear/Conv weights+bias ~ U(-k, k), k = 1/sqrt(fan_in); spectral weights
+~ scale * complex-normal (see ``spectral_weight_init``); norm affine = (1, 0).
+
+All modules take channels-first inputs ``(B, C, *spatial)`` and a **static**
+``out_size`` tuple — output grids are pure arguments, never module state
+(the reference mutates ``self.dim*`` per call; we do not).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from uno_tpu.ops.norm import instance_norm
+from uno_tpu.ops.resample import resize
+from uno_tpu.ops.spectral import (
+    fourier_truncate_3d,
+    spectral_conv_1d,
+    spectral_conv_2d,
+    spectral_conv_3d,
+    spectral_weight_init,
+)
+
+Array = jax.Array
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """flax Dense kernel is (in, out); torch fan_in is shape[0]."""
+    k = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+
+def _torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        k = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+    return init
+
+
+class Dense(nn.Module):
+    """Channels-last linear layer with torch nn.Linear default init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (x.shape[-1], self.features)
+        )
+        y = jnp.dot(x, kernel)
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(x.shape[-1]), (self.features,)
+            )
+            y = y + bias
+        return y
+
+
+def gelu(x: Array) -> Array:
+    """torch F.gelu default = exact erf form (NOT the tanh approximation)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+_SPECTRAL_FNS = {1: spectral_conv_1d, 2: spectral_conv_2d, 3: spectral_conv_3d}
+_N_BLOCKS = {1: 1, 2: 2, 3: 4}
+
+
+class SpectralConv(nn.Module):
+    """Truncated-mode Fourier integral operator (any of 1/2/3 dims).
+
+    ``modes`` has one entry per spatial dim.  ``out_size`` at call time sets
+    the output grid (Fourier-domain trigonometric resampling).
+    """
+
+    in_codim: int
+    out_codim: int
+    modes: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
+        ndim = len(self.modes)
+        assert x.ndim == 2 + ndim, (x.shape, self.modes)
+        weights = self.param(
+            "weights",
+            lambda key, *_: spectral_weight_init(
+                key, self.in_codim, self.out_codim, self.modes, _N_BLOCKS[ndim]
+            ),
+        )
+        fn = _SPECTRAL_FNS[ndim]
+        if ndim == 1:
+            return fn(x, weights, out_size[0], self.modes[0])
+        return fn(x, weights, tuple(out_size), tuple(self.modes))
+
+
+class PointwiseOp(nn.Module):
+    """1x1 conv (channel Dense) + domain resampling.
+
+    Resampling per reference: 1D linear+aa, 2D bicubic+aa (both
+    align_corners=True), 3D explicit Fourier truncation (backward norm)
+    followed by trilinear align_corners=True (no aa).
+    """
+
+    in_codim: int
+    out_codim: int
+    ndim: int
+
+    @nn.compact
+    def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (self.in_codim, self.out_codim)
+        )
+        bias = self.param(
+            "bias", _torch_bias_init(self.in_codim), (self.out_codim,)
+        )
+        # channels-first 1x1 conv == tensordot over the channel axis.
+        y = jnp.tensordot(x, kernel, axes=[[1], [0]])
+        y = jnp.moveaxis(y, -1, 1)
+        y = y + bias.reshape((1, -1) + (1,) * self.ndim)
+
+        axes = tuple(range(2, 2 + self.ndim))
+        if self.ndim == 1:
+            return resize(y, out_size, axes, "linear", True, True)
+        if self.ndim == 2:
+            return resize(y, out_size, axes, "cubic", True, True)
+        y = fourier_truncate_3d(y, tuple(out_size))
+        # reference then trilinear-resizes; sizes already match after the
+        # truncation's irfftn, so this is the identity — kept for parity
+        # with integral_operators.py:465-467.
+        return resize(y, out_size, axes, "linear", True, False)
+
+
+class OperatorBlock(nn.Module):
+    """u' = GELU(InstanceNorm(K(u) + W(u))) with both paths resampled.
+
+    ``normalize`` defaults: True in 1D, False in 2D/3D — per-reference
+    (integral_operators.py:103, 261, 489); pass explicitly from models.
+    """
+
+    in_codim: int
+    out_codim: int
+    modes: Tuple[int, ...]
+    normalize: bool = False
+    non_lin: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
+        ndim = len(self.modes)
+        k = SpectralConv(self.in_codim, self.out_codim, self.modes, name="conv")(
+            x, out_size
+        )
+        w = PointwiseOp(self.in_codim, self.out_codim, ndim, name="w")(
+            x, out_size
+        )
+        out = k + w
+        if self.normalize:
+            scale = self.param(
+                "norm_scale", nn.initializers.ones, (self.out_codim,)
+            )
+            bias = self.param(
+                "norm_bias", nn.initializers.zeros, (self.out_codim,)
+            )
+            out = instance_norm(out, scale, bias)
+        if self.non_lin:
+            out = gelu(out)
+        return out
