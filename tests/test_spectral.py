@@ -76,6 +76,8 @@ def test_spectral_1d_matches_oracle(n, d1, m1):
         ((8, 8), (16, 16), (3, 4)),
         ((17, 13), (11, 9), (4, 4)),
         ((12, 12), (24, 24), (6, 6)),
+        # overlap case: 2*m1 > d1 -> torch last-write-wins semantics
+        ((16, 16), (10, 10), (6, 4)),
     ],
 )
 def test_spectral_2d_matches_oracle(hw, out, m):
@@ -93,6 +95,8 @@ def test_spectral_2d_matches_oracle(hw, out, m):
         ((8, 8, 6), (8, 8, 6), (3, 3, 3)),
         ((8, 8, 6), (12, 12, 10), (3, 3, 3)),
         ((12, 12, 10), (6, 6, 5), (2, 2, 2)),
+        # overlap case (Uno3D_T40 bottleneck): 2*m > d on both spatial axes
+        ((16, 16, 20), (8, 8, 20), (6, 6, 7)),
     ],
 )
 def test_spectral_3d_matches_oracle(s, out, m):

@@ -1,0 +1,59 @@
+from uno_tpu.models.core import LIFT, BlockSpec, UNOModel, UNOSpec
+from uno_tpu.models.uno2d import uno, uno9, uno11, uno_demo, uno_p, uno_s256
+from uno_tpu.models.uno3d import (
+    uno3d_t9,
+    uno3d_t9_256,
+    uno3d_t10,
+    uno3d_t10_256,
+    uno3d_t20,
+    uno3d_t20_256,
+    uno3d_t40,
+    uno3d_t40_256,
+)
+
+MODEL_REGISTRY = {
+    "uno9": uno9,
+    "uno11": uno11,
+    "uno": uno,
+    "uno_p": uno_p,
+    "uno_s256": uno_s256,
+    "uno_demo": uno_demo,
+    "uno3d_t40": uno3d_t40,
+    "uno3d_t20": uno3d_t20,
+    "uno3d_t10": uno3d_t10,
+    "uno3d_t9": uno3d_t9,
+    "uno3d_t40_256": uno3d_t40_256,
+    "uno3d_t20_256": uno3d_t20_256,
+    "uno3d_t10_256": uno3d_t10_256,
+    "uno3d_t9_256": uno3d_t9_256,
+}
+
+
+def build_model(name: str, **kwargs):
+    """Returns (UNOModel instance) for a registered spec name."""
+    spec = MODEL_REGISTRY[name](**kwargs)
+    return UNOModel(spec)
+
+
+__all__ = [
+    "LIFT",
+    "BlockSpec",
+    "UNOModel",
+    "UNOSpec",
+    "MODEL_REGISTRY",
+    "build_model",
+    "uno",
+    "uno9",
+    "uno11",
+    "uno_p",
+    "uno_s256",
+    "uno_demo",
+    "uno3d_t40",
+    "uno3d_t20",
+    "uno3d_t10",
+    "uno3d_t9",
+    "uno3d_t40_256",
+    "uno3d_t20_256",
+    "uno3d_t10_256",
+    "uno3d_t9_256",
+]

@@ -1,0 +1,174 @@
+"""Config-driven U-NO model core.
+
+Instead of the reference's ~10 hand-copied model classes
+(darcy_flow_uno2d.py, navier_stokes_uno2d.py, navier_stokes_uno3d.py), every
+U-NO variant here is a declarative ``UNOSpec``: an ordered tuple of
+``BlockSpec`` entries whose output grid is an exact rational multiple of the
+padded base grid, plus lift/projection/padding/embedding choices.  One flax
+module interprets the spec for both 2D and 3D families.
+
+Grid arithmetic uses ``fractions.Fraction`` floors, which reproduces the
+reference's ``D//k`` and ``int(D*1.6)``-style expressions exactly (the float
+literals 1.6, 1.2, 0.8, ... all truncate to the same integers as the exact
+rationals for every realizable grid size).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from uno_tpu.models.embeddings import EMBEDDINGS
+from uno_tpu.nn.layers import Dense, OperatorBlock, gelu
+from uno_tpu.ops.resample import resize
+
+Array = jax.Array
+
+LIFT = -1  # skip source: the padded lift output x_fc0
+
+
+@dataclass(frozen=True)
+class BlockSpec:
+    channels: int                      # output co-domain dimension
+    grid: Tuple[Fraction, ...]         # per-axis multiple of the padded grid
+    modes: Tuple[int, ...]
+    normalize: bool = False
+    residual: bool = False
+    skip: Optional[int] = None         # concat source after this block
+
+
+@dataclass(frozen=True)
+class UNOSpec:
+    name: str
+    ndim: int                          # spatial dims (2 or 3)
+    in_width: int                      # input channels incl. grid embedding
+    width: int
+    lift_hidden: int
+    embed: str                         # key into EMBEDDINGS
+    pad: int
+    pad_mode: str                      # 'darcy' | 'sym' | 'time'
+    blocks: Tuple[BlockSpec, ...]
+    proj_hidden: int
+    proj_concat_lift: bool = False
+    out_dim: int = 1
+    pad_both: bool = False             # 3D time padding on both sides
+    crop_mult: Fraction = Fraction(1)  # 3D: time-crop = floor(crop_mult*pad)
+    darcy_base: int = 85               # darcy pad scale = ceil(S/darcy_base)
+
+
+def _scale(d: int, f: Fraction) -> int:
+    return (d * f.numerator) // f.denominator
+
+
+class UNOModel(nn.Module):
+    """Interpreter for a UNOSpec.  Input/output are channels-last:
+    2D: (B, S1, S2, C) -> (B, S1, S2, out_dim)
+    3D: (B, S1, S2, T, C) -> (B, S1, S2, T_out, out_dim)
+    """
+
+    spec: UNOSpec
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        spec = self.spec
+        nd = spec.ndim
+        assert x.ndim == nd + 2, (x.shape, spec.name)
+
+        grid = EMBEDDINGS[spec.embed](x.shape)
+        x = jnp.concatenate([x, grid], axis=-1)
+
+        h = gelu(Dense(spec.lift_hidden, name="fc")(x))
+        h0 = Dense(spec.width, name="fc0")(h)
+        h0 = gelu(h0)
+
+        # channels-last -> channels-first
+        v = jnp.moveaxis(h0, -1, 1)
+
+        # --- domain padding -------------------------------------------------
+        pad_cfg = [(0, 0), (0, 0)] + [(0, 0)] * nd
+        crop = None
+        if spec.pad_mode == "darcy":
+            # pad right/bottom by ceil(S/85)*pad (darcy_flow_uno2d.py:106-107)
+            import math
+
+            scale = math.ceil(v.shape[-1] / spec.darcy_base)
+            p = scale * spec.pad
+            pad_cfg[-2] = (0, p)
+            pad_cfg[-1] = (0, p)
+            crop = ("end2", p)
+        elif spec.pad_mode == "sym":
+            p = spec.pad
+            pad_cfg[-2] = (p, p)
+            pad_cfg[-1] = (p, p)
+            crop = ("sym2", p)
+        elif spec.pad_mode == "end":
+            # one-sided right/bottom padding (UNO_Tutorial.ipynb cell 20)
+            p = spec.pad
+            pad_cfg[-2] = (0, p)
+            pad_cfg[-1] = (0, p)
+            crop = ("end2", p)
+        elif spec.pad_mode == "time":
+            # int(pad * 0.1 * T) on the trailing (time) axis
+            # (navier_stokes_uno3d.py:115-121)
+            p = int(spec.pad * 0.1 * v.shape[-1])
+            if spec.pad_both:
+                pad_cfg[-1] = (p, p)
+            else:
+                pad_cfg[-1] = (0, p)
+            crop = ("time", p)
+        else:
+            raise ValueError(spec.pad_mode)
+        if any(a or b for a, b in pad_cfg):
+            v = jnp.pad(v, pad_cfg)
+
+        base = v.shape[2:]
+
+        # --- U-stack --------------------------------------------------------
+        outs = []
+        cur = v
+        for i, blk in enumerate(spec.blocks):
+            out_size = tuple(_scale(d, g) for d, g in zip(base, blk.grid))
+            cur = OperatorBlock(
+                in_codim=cur.shape[1],
+                out_codim=blk.channels,
+                modes=blk.modes,
+                normalize=blk.normalize,
+                residual=blk.residual,
+                name=f"block{i}",
+            )(cur, out_size)
+            if blk.skip is not None:
+                src = v if blk.skip == LIFT else outs[blk.skip]
+                if nd == 3:
+                    # 3D skips are trilinear-resized to the current grid
+                    # (navier_stokes_uno3d.py:132-143)
+                    src = resize(
+                        src, cur.shape[2:], (2, 3, 4), "linear", True, False
+                    )
+                cur = jnp.concatenate([cur, src], axis=1)
+            outs.append(cur)
+
+        # --- crop padding ---------------------------------------------------
+        kind, p = crop
+        if p:
+            if kind == "end2":
+                cur = cur[..., :-p, :-p]
+            elif kind == "sym2":
+                cur = cur[..., p:-p, p:-p]
+            elif kind == "time":
+                c = _scale(p, spec.crop_mult)
+                if c:
+                    cur = cur[..., c:-c] if spec.pad_both else cur[..., :-c]
+
+        # --- projection -----------------------------------------------------
+        y = jnp.moveaxis(cur, 1, -1)
+        y = gelu(Dense(spec.proj_hidden, name="fc1")(y))
+        if spec.proj_concat_lift:
+            # UNO_P / UNO_S256 concat the lift activations into the projection
+            # (navier_stokes_uno2d.py:124, :323)
+            y = jnp.concatenate([y, h], axis=-1)
+        return Dense(spec.out_dim, name="fc2")(y)

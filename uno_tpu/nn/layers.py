@@ -156,6 +156,7 @@ class OperatorBlock(nn.Module):
     modes: Tuple[int, ...]
     normalize: bool = False
     non_lin: bool = True
+    residual: bool = False
 
     @nn.compact
     def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
@@ -175,6 +176,17 @@ class OperatorBlock(nn.Module):
                 "norm_bias", nn.initializers.zeros, (self.out_codim,)
             )
             out = instance_norm(out, scale, bias)
+        if self.residual:
+            # The reference's UNO_11 requests residual=True but
+            # OperatorBlock_2D never implemented it (darcy_flow_uno2d.py:188
+            # raises TypeError).  Working definition: identity skip added
+            # after normalisation, before the nonlinearity; requires
+            # matching channel count and grid.
+            if x.shape != out.shape:
+                raise ValueError(
+                    f"residual block needs matching shapes, {x.shape} vs {out.shape}"
+                )
+            out = out + x
         if self.non_lin:
             out = gelu(out)
         return out

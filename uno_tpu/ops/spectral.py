@@ -156,7 +156,7 @@ def spectral_conv_2d(
     d1, d2 = out_size
     m1, m2 = modes
     h = x.shape[-2]
-    if 2 * m1 > d1 or 2 * m1 > h or m2 > d2 // 2 + 1 or m2 > x.shape[-1] // 2 + 1:
+    if m1 > d1 or m1 > h or m2 > d2 // 2 + 1 or m2 > x.shape[-1] // 2 + 1:
         raise ValueError(f"modes {modes} incompatible with in {x.shape} out {out_size}")
 
     x_ft = jnp.fft.rfft2(x.astype(jnp.float32), norm="forward")
@@ -168,9 +168,14 @@ def spectral_conv_2d(
     out = _complex_mode_matmul(corners, w)  # (B, Co, 2*m1, m2)
     out_top, out_bot = out[:, :, :m1], out[:, :, m1:]
 
+    # Assemble the zero-embedded output rows.  When 2*m1 > d1 the reference's
+    # in-place corner writes overlap and the negative-kx block (written last)
+    # wins — reproduced by keeping only the first d1-m1 rows of the positive
+    # block (integral_operators.py:198-203 write order).
     b, co = out.shape[:2]
-    mid = _zeros_c((b, co, d1 - 2 * m1, m2))
-    out_ft = jnp.concatenate([out_top, mid, out_bot], axis=2)  # (B, Co, d1, m2)
+    n_top = min(m1, d1 - m1)
+    mid = _zeros_c((b, co, d1 - m1 - n_top, m2))
+    out_ft = jnp.concatenate([out_top[:, :, :n_top], mid, out_bot], axis=2)
     pad_w = d2 // 2 + 1 - m2
     out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
     return jnp.fft.irfft2(out_ft, s=(d1, d2), norm="forward")
@@ -192,10 +197,10 @@ def spectral_conv_3d(
     m1, m2, m3 = modes
     sx, sy = x.shape[-3], x.shape[-2]
     if (
-        2 * m1 > d1
-        or 2 * m1 > sx
-        or 2 * m2 > d2
-        or 2 * m2 > sy
+        m1 > d1
+        or m1 > sx
+        or m2 > d2
+        or m2 > sy
         or m3 > d3 // 2 + 1
         or m3 > x.shape[-1] // 2 + 1
     ):
@@ -221,15 +226,20 @@ def spectral_conv_3d(
     out = _complex_mode_matmul(corners, w)  # (B, Co, 2*m1, 2*m2, m3)
 
     b, co = out.shape[:2]
-    # Re-assemble the zero-embedded output spectrum along kx then ky.
-    gap_y = _zeros_c((b, co, m1, d2 - 2 * m2, m3))
-    top = jnp.concatenate(
-        [out[:, :, :m1, :m2], gap_y, out[:, :, :m1, m2:]], axis=3
-    )
-    bot = jnp.concatenate(
-        [out[:, :, m1:, :m2], gap_y, out[:, :, m1:, m2:]], axis=3
-    )
-    gap_x = _zeros_c((b, co, d1 - 2 * m1, d2, m3))
+    # Re-assemble the zero-embedded output spectrum along kx then ky.  When
+    # 2*m > d the reference's sequential quadrant writes overlap; the
+    # negative-frequency blocks (written later, integral_operators.py:410-421)
+    # win, so only the first d-m entries of each positive block survive.
+    n_x = min(m1, d1 - m1)
+    n_y = min(m2, d2 - m2)
+
+    def _assemble_y(lo, hi):
+        gap = _zeros_c((b, co, lo.shape[2], d2 - m2 - n_y, m3))
+        return jnp.concatenate([lo[:, :, :, :n_y], gap, hi], axis=3)
+
+    top = _assemble_y(out[:, :, :n_x, :m2], out[:, :, :n_x, m2:])
+    bot = _assemble_y(out[:, :, m1:, :m2], out[:, :, m1:, m2:])
+    gap_x = _zeros_c((b, co, d1 - m1 - n_x, d2, m3))
     out_ft = jnp.concatenate([top, gap_x, bot], axis=2)
     pad_t = d3 // 2 + 1 - m3
     out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad_t)))
