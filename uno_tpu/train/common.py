@@ -1,0 +1,69 @@
+"""Shared trainer machinery: config, optimizer wiring, best-val tracking."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uno_tpu.optim import complex_adam, step_lr
+from uno_tpu.parallel.mesh import replicate, shard_batch
+from uno_tpu.train.checkpoint import CheckpointManager
+from uno_tpu.train.metrics import MetricLogger
+from uno_tpu.train.state import TrainState, apply_updates
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 150
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    scheduler_step: int = 100        # epochs between StepLR decays
+    scheduler_gamma: float = 0.5
+    weight_decay: float = 1e-4
+    seed: int = 0
+    eval_every: int = 1              # validate every k epochs (reference NS: 2)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0        # full-state checkpoint every k epochs
+    resume: bool = False
+    drop_remainder: bool = False
+    # Reference ns_train_2d.py steps the scheduler only on even epochs
+    # (:74,:113 — effective step size 2x nominal).  Off by default; enable to
+    # bit-match the reference schedule.
+    compat_even_epoch_scheduler: bool = False
+    log_tensorboard: Optional[str] = None
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    eff_sched_epochs = cfg.scheduler_step * (
+        2 if cfg.compat_even_epoch_scheduler else 1
+    )
+    schedule = step_lr(
+        cfg.learning_rate, eff_sched_epochs, cfg.scheduler_gamma, steps_per_epoch
+    )
+    return complex_adam(
+        schedule, weight_decay=cfg.weight_decay
+    )
+
+
+class BestTracker:
+    """Reference best-val selection: save params whenever val improves."""
+
+    def __init__(self, ckpt: Optional[CheckpointManager] = None):
+        self.best_val = float("inf")
+        self.best_params = None
+        self.ckpt = ckpt
+
+    def update(self, val: float, params) -> bool:
+        if val < self.best_val:
+            self.best_val = val
+            self.best_params = jax.tree.map(jnp.copy, params)
+            if self.ckpt is not None:
+                self.ckpt.save("best_params", self.best_params)
+            return True
+        return False

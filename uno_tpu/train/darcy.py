@@ -1,0 +1,138 @@
+"""Darcy flow trainer.
+
+Behavioral contract from train_darcy.py:15-100: per-batch forward ->
+relative-L2 (sum) -> backward -> Adam step; StepLR per epoch; validate every
+epoch; save params on val improvement; reload best for the final test pass.
+TPU-first mechanics: whole dataset lives in HBM, the train step is one jit'd
+donated function (params+opt_state buffers reused), batches are indexed on
+device.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uno_tpu.data.batching import epoch_batches, num_batches
+from uno_tpu.losses import relative_lp_loss
+from uno_tpu.parallel.mesh import replicate, shard_batch
+from uno_tpu.train.checkpoint import CheckpointManager
+from uno_tpu.train.common import BestTracker, TrainConfig, make_optimizer
+from uno_tpu.train.metrics import MetricLogger
+from uno_tpu.train.state import TrainState, apply_updates
+
+
+def train_darcy(
+    model,
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    x_val: np.ndarray,
+    y_val: np.ndarray,
+    x_test: np.ndarray,
+    y_test: np.ndarray,
+    cfg: TrainConfig,
+    mesh=None,
+    logger: Optional[MetricLogger] = None,
+) -> Dict[str, Any]:
+    logger = logger or MetricLogger(tensorboard_dir=cfg.log_tensorboard)
+    rng = np.random.default_rng(cfg.seed)
+    s = y_train.shape[1]
+
+    ntrain, nval, ntest = len(x_train), len(x_val), len(x_test)
+    steps_per_epoch = num_batches(ntrain, cfg.batch_size, cfg.drop_remainder)
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    params = model.init(
+        jax.random.PRNGKey(cfg.seed), jnp.asarray(x_train[:1])
+    )
+    state = TrainState.create(params, tx)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    xt = shard_batch(mesh, jnp.asarray(x_train))
+    yt = shard_batch(mesh, jnp.asarray(y_train))
+    xv = shard_batch(mesh, jnp.asarray(x_val))
+    yv = shard_batch(mesh, jnp.asarray(y_val))
+    xs = shard_batch(mesh, jnp.asarray(x_test))
+    ys = shard_batch(mesh, jnp.asarray(y_test))
+
+    def loss_fn(params, x, y):
+        out = model.apply(params, x).reshape(y.shape[0], s, s)
+        return relative_lp_loss(out, y, reduction="sum")
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    eval_loss = jax.jit(loss_fn)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    best = BestTracker(ckpt)
+    start_epoch = 0
+    if cfg.resume and ckpt is not None and ckpt.exists("train_state"):
+        restored = ckpt.restore(
+            "train_state", {"state": state, "epoch": 0, "best_val": 0.0}
+        )
+        state = jax.tree.map(jnp.asarray, restored["state"])
+        start_epoch = int(restored["epoch"]) + 1
+        best.best_val = float(restored["best_val"])
+
+    def _eval(params, x, y, n) -> float:
+        total = 0.0
+        for idx in epoch_batches(rng, n, cfg.batch_size, shuffle=False):
+            total += float(eval_loss(params, x[idx], y[idx]))
+        return total / n
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.perf_counter()
+        train_l2 = 0.0
+        for idx in epoch_batches(
+            rng, ntrain, cfg.batch_size, drop_remainder=cfg.drop_remainder
+        ):
+            state, loss = train_step(state, xt[idx], yt[idx])
+            train_l2 += float(loss)
+        train_l2 /= ntrain
+
+        val_l2 = _eval(state.params, xv, yv, nval)
+        dt = time.perf_counter() - t0
+        improved = best.update(val_l2, state.params)
+        logger.log(
+            {
+                "task": "darcy",
+                "epoch": epoch,
+                "step": int(state.step),
+                "train_rel_l2": train_l2,
+                "val_rel_l2": val_l2,
+                "epoch_sec": dt,
+                "samples_per_sec": ntrain / dt,
+                "saved": improved,
+            }
+        )
+        if ckpt is not None and cfg.checkpoint_every and (
+            epoch % cfg.checkpoint_every == 0
+        ):
+            ckpt.save(
+                "train_state",
+                {"state": state, "epoch": epoch, "best_val": best.best_val},
+            )
+
+    final_params = best.best_params if best.best_params is not None else state.params
+    test_l2 = _eval(final_params, xs, ys, ntest) if ntest else float("nan")
+    logger.log({"task": "darcy", "test_rel_l2": test_l2})
+    return {
+        "params": final_params,
+        "state": state,
+        "best_val": best.best_val,
+        "test_rel_l2": test_l2,
+    }

@@ -1,0 +1,182 @@
+"""NS-2D autoregressive rollout trainer.
+
+Behavioral contract from ns_train_2d.py:15-168: per batch, roll the model
+forward ``T_f`` steps feeding each prediction back into the input window,
+accumulate per-step relative-L2, one backward through the **entire** rollout
+(full BPTT).  Validation (same rollout) every 2 epochs; best-val params
+saved; test reports both per-step loss and full-trajectory rel-L2.
+
+TPU-first mechanics: the rollout is a ``lax.scan`` with per-step
+``jax.checkpoint`` (rematerialisation), so peak memory is one step's
+activations instead of all T_f (the reference holds the whole 40-step chain
+live — SURVEY.md §3.2).  Reference scheduler bug (stepping only on even
+epochs) is fixed by default, reproducible via
+``cfg.compat_even_epoch_scheduler``.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uno_tpu.data.batching import epoch_batches, num_batches
+from uno_tpu.losses import relative_lp_loss
+from uno_tpu.parallel.mesh import replicate, shard_batch
+from uno_tpu.train.checkpoint import CheckpointManager
+from uno_tpu.train.common import BestTracker, TrainConfig, make_optimizer
+from uno_tpu.train.metrics import MetricLogger
+from uno_tpu.train.state import TrainState, apply_updates
+
+
+def make_rollout(model, t_f: int, remat: bool = True):
+    """Returns rollout(params, xx, yy) -> (step_loss_sum, pred_trajectory)."""
+
+    def one_step(params, xx, y_t):
+        im = model.apply(params, xx)  # (B, S, S, 1)
+        loss_t = relative_lp_loss(im, y_t, reduction="sum")
+        xx_next = jnp.concatenate([xx[..., 1:], im], axis=-1)
+        return xx_next, loss_t, im[..., 0]
+
+    if remat:
+        one_step = jax.checkpoint(one_step)
+
+    def rollout(params, xx, yy):
+        ys = jnp.moveaxis(yy, -1, 0)[..., None]  # (T_f, B, S, S, 1)
+
+        def step_fn(carry, y_t):
+            xx_next, loss_t, im = one_step(params, carry, y_t)
+            return xx_next, (loss_t, im)
+
+        _, (losses, ims) = jax.lax.scan(step_fn, xx, ys, length=t_f)
+        pred = jnp.moveaxis(ims, 0, -1)  # (B, S, S, T_f)
+        return jnp.sum(losses), pred
+
+    return rollout
+
+
+def train_ns2d(
+    model,
+    train_a: np.ndarray,
+    train_u: np.ndarray,
+    val_a: np.ndarray,
+    val_u: np.ndarray,
+    test_a: np.ndarray,
+    test_u: np.ndarray,
+    cfg: TrainConfig,
+    t_f: int = 40,
+    mesh=None,
+    logger: Optional[MetricLogger] = None,
+) -> Dict[str, Any]:
+    logger = logger or MetricLogger(tensorboard_dir=cfg.log_tensorboard)
+    rng = np.random.default_rng(cfg.seed)
+
+    ntrain, nval, ntest = len(train_a), len(val_a), len(test_a)
+    steps_per_epoch = num_batches(ntrain, cfg.batch_size, cfg.drop_remainder)
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(train_a[:1]))
+    state = TrainState.create(params, tx)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    xt = shard_batch(mesh, jnp.asarray(train_a))
+    yt = shard_batch(mesh, jnp.asarray(train_u))
+    xv = shard_batch(mesh, jnp.asarray(val_a))
+    yv = shard_batch(mesh, jnp.asarray(val_u))
+    xs = shard_batch(mesh, jnp.asarray(test_a))
+    ys = shard_batch(mesh, jnp.asarray(test_u))
+
+    rollout = make_rollout(model, t_f)
+
+    def loss_fn(params, xx, yy):
+        loss, _ = rollout(params, xx, yy)
+        return loss
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, xx, yy):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, xx, yy)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    @jax.jit
+    def eval_step(params, xx, yy):
+        loss, pred = rollout(params, xx, yy)
+        traj = relative_lp_loss(pred, yy, reduction="sum")
+        return loss, traj
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    best = BestTracker(ckpt)
+    start_epoch = 0
+    if cfg.resume and ckpt is not None and ckpt.exists("train_state"):
+        restored = ckpt.restore(
+            "train_state", {"state": state, "epoch": 0, "best_val": 0.0}
+        )
+        state = jax.tree.map(jnp.asarray, restored["state"])
+        start_epoch = int(restored["epoch"]) + 1
+        best.best_val = float(restored["best_val"])
+
+    def _eval(params, x, y, n):
+        step_total, traj_total = 0.0, 0.0
+        for idx in epoch_batches(rng, n, cfg.batch_size, shuffle=False):
+            l, t = eval_step(params, x[idx], y[idx])
+            step_total += float(l)
+            traj_total += float(t)
+        return step_total / n / t_f, traj_total / n
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.perf_counter()
+        train_loss = 0.0
+        for idx in epoch_batches(
+            rng, ntrain, cfg.batch_size, drop_remainder=cfg.drop_remainder
+        ):
+            state, loss = train_step(state, xt[idx], yt[idx])
+            train_loss += float(loss)
+        train_loss = train_loss / ntrain / t_f
+        dt = time.perf_counter() - t0
+
+        record = {
+            "task": "ns2d",
+            "epoch": epoch,
+            "step": int(state.step),
+            "train_step_rel_l2": train_loss,
+            "epoch_sec": dt,
+            "samples_per_sec": ntrain / dt,
+        }
+        if epoch % cfg.eval_every == 0:
+            val_loss, val_traj = _eval(state.params, xv, yv, nval)
+            record["val_step_rel_l2"] = val_loss
+            record["val_traj_rel_l2"] = val_traj
+            record["saved"] = best.update(val_loss, state.params)
+        logger.log(record)
+        if ckpt is not None and cfg.checkpoint_every and (
+            epoch % cfg.checkpoint_every == 0
+        ):
+            ckpt.save(
+                "train_state",
+                {"state": state, "epoch": epoch, "best_val": best.best_val},
+            )
+
+    final_params = best.best_params if best.best_params is not None else state.params
+    if ntest:
+        test_step, test_traj = _eval(final_params, xs, ys, ntest)
+    else:
+        test_step = test_traj = float("nan")
+    logger.log(
+        {"task": "ns2d", "test_step_rel_l2": test_step, "test_traj_rel_l2": test_traj}
+    )
+    return {
+        "params": final_params,
+        "state": state,
+        "best_val": best.best_val,
+        "test_step_rel_l2": test_step,
+        "test_traj_rel_l2": test_traj,
+    }
