@@ -13,11 +13,41 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree.map(np.asarray, tree)
+    """Device->host with complex leaves encoded as trailing (re, im) pairs.
+
+    Complex device-to-host transfers hang on some TPU runtimes (observed on
+    the axon relay); the re/im split runs on device so only real arrays ever
+    cross the boundary.  ``_decode`` (driven by a template) reassembles.
+    """
+
+    def leaf(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+            x = jax.jit(lambda a: jnp.stack([jnp.real(a), jnp.imag(a)], -1))(x)
+        return np.asarray(x)
+
+    return jax.tree.map(leaf, tree)
+
+
+def _decode_against(template, restored):
+    """Reassemble complex leaves encoded by ``_to_numpy``."""
+
+    def leaf(t, r):
+        r = np.asarray(r)
+        if (
+            hasattr(t, "dtype")
+            and jnp.issubdtype(np.asarray(t).dtype, np.complexfloating)
+            and r.ndim == np.asarray(t).ndim + 1
+            and r.shape[-1] == 2
+        ):
+            return (r[..., 0] + 1j * r[..., 1]).astype(np.asarray(t).dtype)
+        return r.astype(np.asarray(t).dtype) if hasattr(t, "dtype") else r
+
+    return jax.tree.map(leaf, template, restored)
 
 
 def save_pytree(path: str, tree: Any) -> None:
@@ -82,6 +112,7 @@ class CheckpointManager:
             restored = load_pytree(path)
         if template is not None:
             restored = serialization.from_state_dict(template, restored)
+            restored = _decode_against(template, restored)
         return restored
 
     def exists(self, name: str) -> bool:
