@@ -1,0 +1,277 @@
+"""Command-line driver.
+
+Replaces the reference's three hardcoded entry scripts (darcy_flow_main.py,
+ns_uno2d_main.py, ns_uno3d_main.py) with one CLI over named presets:
+
+    python -m uno_tpu.cli train --preset darcy_s85 --data darcy.mat
+    python -m uno_tpu.cli train --preset ns2d --generate --ntrain 64 --epochs 2
+    python -m uno_tpu.cli generate --task ns2d --out ns_data.mat
+    python -m uno_tpu.cli bench
+
+``--generate`` synthesizes data on the fly with the JAX generators (GRF +
+pseudo-spectral NS solver / Darcy FD solver), so the framework is
+self-sufficient without the reference's MATLAB/download pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", required=True)
+    p.add_argument("--data", default=None, help=".mat file path")
+    p.add_argument("--generate", action="store_true", help="synthesize data in JAX")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--weight-decay", type=float, default=None)
+    p.add_argument("--ntrain", type=int, default=None)
+    p.add_argument("--nval", type=int, default=None)
+    p.add_argument("--ntest", type=int, default=None)
+    p.add_argument("--size", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first epochs")
+    p.add_argument("--tensorboard", default=None)
+
+
+def _build_cfg(preset, args):
+    over = {}
+    for k in ("epochs", "batch_size", "learning_rate", "weight_decay", "seed"):
+        v = getattr(args, k)
+        if v is not None:
+            over[k] = v
+    if args.checkpoint_dir:
+        over["checkpoint_dir"] = args.checkpoint_dir
+        over["checkpoint_every"] = 1
+    if args.resume:
+        over["resume"] = True
+    if args.tensorboard:
+        over["log_tensorboard"] = args.tensorboard
+    cfg = dataclasses.replace(preset.train, **over)
+    data_over = {}
+    for k in ("ntrain", "nval", "ntest", "size"):
+        v = getattr(args, k)
+        if v is not None:
+            data_over[k] = v
+    preset = dataclasses.replace(preset, train=cfg, **data_over)
+    return preset
+
+
+def _gen_darcy(preset, seed=0):
+    import jax
+
+    from uno_tpu.data import generate_darcy_batch
+
+    s = int((421 - 1) / preset.sub) + 1
+    n = preset.ntrain + preset.nval + preset.ntest
+    a_list, p_list = [], []
+    key = jax.random.PRNGKey(seed)
+    bs = max(1, min(64, n))
+    done = 0
+    while done < n:
+        key, sub = jax.random.split(key)
+        k = min(bs, n - done)
+        a, p = generate_darcy_batch(sub, k, s)
+        a_list.append(np.asarray(a))
+        p_list.append(np.asarray(p))
+        done += k
+    a = np.concatenate(a_list)[..., None]
+    p = np.concatenate(p_list)
+    i1 = preset.ntrain
+    i2 = i1 + preset.nval
+    return (a[:i1], p[:i1], a[i1:i2], p[i1:i2], a[i2:], p[i2:])
+
+
+def _gen_ns(preset, seed=0, T=None, visc=1e-3, delta_t=1e-3):
+    import jax
+
+    from uno_tpu.data import GaussianRF, default_forcing, navier_stokes_2d
+
+    s = preset.size
+    n = preset.ntrain + preset.nval + preset.ntest
+    total_steps = preset.t_in + preset.t_f
+    grf = GaussianRF(2, s, alpha=2.5, tau=7.0)
+    f = default_forcing(s)
+    a_list, u_list = [], []
+    key = jax.random.PRNGKey(seed)
+    bs = 20
+    done = 0
+    while done < n:
+        key, sub = jax.random.split(key)
+        k = min(bs, n - done)
+        w0 = grf.sample(sub, k)
+        sol, _ = navier_stokes_2d(
+            w0, f, visc=visc, T=T or (total_steps * 0.5),
+            delta_t=delta_t, record_steps=total_steps,
+        )
+        sol = np.asarray(sol)
+        a_list.append(sol[..., : preset.t_in])
+        u_list.append(sol[..., preset.t_in : preset.t_in + preset.t_f])
+        done += k
+    a = np.concatenate(a_list)
+    u = np.concatenate(u_list)
+    i1, i2 = preset.ntrain, preset.ntrain + preset.nval
+    return (a[:i1], u[:i1], a[i1:i2], u[i1:i2], a[i2:], u[i2:])
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from uno_tpu.configs.presets import get_preset
+    from uno_tpu.models import build_model
+    from uno_tpu.parallel import make_mesh
+    from uno_tpu.train import MetricLogger, train_darcy, train_ns2d, train_ns3d
+
+    preset = _build_cfg(get_preset(args.preset), args)
+    model = build_model(preset.model, **preset.model_kwargs)
+    mesh = make_mesh() if args.data_parallel else None
+    logger = MetricLogger(tensorboard_dir=preset.train.log_tensorboard)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    try:
+        if preset.task == "darcy":
+            if args.generate or not args.data:
+                data = _gen_darcy(preset, seed=preset.train.seed)
+            else:
+                from uno_tpu.data import load_darcy
+
+                xt, yt, xs_, ys_ = load_darcy(
+                    preset.sub, preset.ntrain + preset.nval, preset.ntest, args.data
+                )
+                i1 = preset.ntrain
+                data = (xt[:i1], yt[:i1], xt[i1:], yt[i1:], xs_, ys_)
+            out = train_darcy(model, *data, preset.train, mesh=mesh, logger=logger)
+        elif preset.task == "ns2d":
+            if args.generate or not args.data:
+                data = _gen_ns(preset, seed=preset.train.seed)
+            else:
+                from uno_tpu.data import load_navier_stokes
+
+                ta, tu, sa, su = load_navier_stokes(
+                    args.data,
+                    train=preset.ntrain + preset.nval,
+                    test=preset.ntest,
+                    sample_num=preset.ntrain + preset.nval + preset.ntest,
+                    t_in=preset.t_in,
+                    t_out=preset.t_f,
+                    size=preset.size,
+                )
+                i1 = preset.ntrain
+                data = (ta[:i1], tu[:i1], ta[i1:], tu[i1:], sa, su)
+            out = train_ns2d(
+                model, *data, preset.train, t_f=preset.t_f, mesh=mesh, logger=logger
+            )
+        elif preset.task == "ns3d":
+            if args.generate or not args.data:
+                data = _gen_ns(preset, seed=preset.train.seed)
+            else:
+                from uno_tpu.data import load_navier_stokes
+
+                ta, tu, sa, su = load_navier_stokes(
+                    args.data,
+                    train=preset.ntrain + preset.nval,
+                    test=preset.ntest,
+                    sample_num=preset.ntrain + preset.nval + preset.ntest,
+                    t_in=preset.t_in,
+                    t_out=preset.t_f,
+                    size=preset.size,
+                )
+                i1 = preset.ntrain
+                data = (ta[:i1], tu[:i1], ta[i1:], tu[i1:], sa, su)
+            out = train_ns3d(
+                model, *data, preset.train, t_f=preset.t_f, mesh=mesh, logger=logger
+            )
+        else:
+            raise ValueError(preset.task)
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    import jax
+    import scipy.io
+
+    from uno_tpu.data import (
+        GaussianRF,
+        default_forcing,
+        generate_darcy_batch,
+        navier_stokes_2d,
+    )
+
+    if args.task == "darcy":
+        s = args.size or 421
+        a, p = generate_darcy_batch(jax.random.PRNGKey(args.seed), args.n, s)
+        scipy.io.savemat(args.out, {"coeff": np.asarray(a), "sol": np.asarray(p)})
+    else:
+        s = args.size or 64
+        grf = GaussianRF(2, s, alpha=2.5, tau=7.0)
+        f = default_forcing(s)
+        bs = 20
+        mdict = {}
+        key = jax.random.PRNGKey(args.seed)
+        for i in range(-(-args.n // bs)):
+            key, sub = jax.random.split(key)
+            w0 = grf.sample(sub, min(bs, args.n - i * bs))
+            sol, sol_t = navier_stokes_2d(
+                w0, f, visc=args.visc, T=args.T, delta_t=args.delta_t,
+                record_steps=args.record_steps,
+            )
+            mdict[f"a{i}"] = np.asarray(w0)
+            mdict[f"u{i}"] = np.asarray(sol)
+            mdict[f"t{i}"] = np.asarray(sol_t)
+        scipy.io.savemat(args.out, mdict, do_compression=True)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="uno_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train")
+    _add_train_args(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_gen = sub.add_parser("generate")
+    p_gen.add_argument("--task", choices=["darcy", "ns"], required=True)
+    p_gen.add_argument("--out", required=True)
+    p_gen.add_argument("--n", type=int, default=100)
+    p_gen.add_argument("--size", type=int, default=None)
+    p_gen.add_argument("--seed", type=int, default=0)
+    p_gen.add_argument("--visc", type=float, default=1e-3)
+    p_gen.add_argument("--T", type=float, default=50.0)
+    p_gen.add_argument("--delta-t", type=float, default=1e-4)
+    p_gen.add_argument("--record-steps", type=int, default=50)
+    p_gen.set_defaults(fn=cmd_generate)
+
+    p_bench = sub.add_parser("bench")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
