@@ -82,18 +82,49 @@ def spectral_weight_init(
     return (scale * (re + 1j * im)).astype(dtype)
 
 
+# Pallas kernel policy: None = auto (TPU only), True/False = forced.
+_PALLAS_MODE = None
+_PALLAS_INTERPRET = False
+
+
+def set_pallas_mode(enabled, interpret: bool = False) -> None:
+    """Force (True/False) or auto-select (None) the Pallas mode-contraction
+    kernel; ``interpret=True`` runs it in the Pallas interpreter (CPU tests)."""
+    global _PALLAS_MODE, _PALLAS_INTERPRET
+    _PALLAS_MODE = enabled
+    _PALLAS_INTERPRET = interpret
+
+
+def _pallas_enabled() -> bool:
+    if _PALLAS_MODE is not None:
+        return _PALLAS_MODE
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _complex_mode_matmul(x_ft: Array, w: Array) -> Array:
-    """``einsum('bi...,io...->bo...')`` on complex inputs via real matmuls.
+    """``einsum('bi...,io...->bo...')`` on complex inputs.
 
     x_ft: (B, Ci, *modes) complex; w: (Ci, Co, *modes) complex.
-    Per Fourier mode this is an independent (B,Ci)x(Ci,Co) matmul; we flatten
-    the mode axes into one GEMM batch so XLA emits a single batched matmul
-    per real component (3-multiplication Karatsuba keeps MXU work minimal).
+    Per Fourier mode this is an independent (B,Ci)x(Ci,Co) matmul.  On TPU a
+    Pallas kernel puts modes in the lanes and contracts channels on the VPU
+    (padded MXU batched-GEMMs run at a few % utilization at these sizes);
+    elsewhere XLA gets one batched matmul per real component (Karatsuba).
     """
     mode_shape = x_ft.shape[2:]
     b, ci = x_ft.shape[:2]
     co = w.shape[1]
     m = int(np.prod(mode_shape)) if mode_shape else 1
+
+    if _pallas_enabled():
+        from uno_tpu.ops.pallas.cmul import complex_mode_matmul_pallas
+
+        out = complex_mode_matmul_pallas(
+            x_ft.reshape(b, ci, m), w.reshape(ci, co, m), _PALLAS_INTERPRET
+        )
+        return out.reshape(b, co, *mode_shape)
 
     # (B, Ci, M) -> (M, B, Ci);  (Ci, Co, M) -> (M, Ci, Co)
     xr = jnp.moveaxis(x_ft.reshape(b, ci, m), -1, 0)
