@@ -29,9 +29,21 @@ MODEL_REGISTRY = {
 }
 
 
-def build_model(name: str, **kwargs):
-    """Returns (UNOModel instance) for a registered spec name."""
+def build_model(name: str, dtype=None, remat_blocks=None, **kwargs):
+    """Returns a UNOModel for a registered spec name.
+
+    ``dtype``/``remat_blocks`` override the spec's precision/remat policy.
+    """
+    import dataclasses
+
     spec = MODEL_REGISTRY[name](**kwargs)
+    over = {}
+    if dtype is not None:
+        over["dtype"] = dtype
+    if remat_blocks is not None:
+        over["remat_blocks"] = remat_blocks
+    if over:
+        spec = dataclasses.replace(spec, **over)
     return UNOModel(spec)
 
 

@@ -59,6 +59,11 @@ class UNOSpec:
     pad_both: bool = False             # 3D time padding on both sides
     crop_mult: Fraction = Fraction(1)  # 3D: time-crop = floor(crop_mult*pad)
     darcy_base: int = 85               # darcy pad scale = ceil(S/darcy_base)
+    # TPU mixed-precision policy: 'bfloat16' runs pointwise/lift/projection
+    # matmuls and inter-block activations in bf16 with f32 accumulation;
+    # FFTs, spectral weights, and norm statistics stay f32.
+    dtype: str = "float32"
+    remat_blocks: bool = False         # jax.checkpoint each operator block
 
 
 def _scale(d: int, f: Fraction) -> int:
@@ -79,11 +84,12 @@ class UNOModel(nn.Module):
         nd = spec.ndim
         assert x.ndim == nd + 2, (x.shape, spec.name)
 
+        cdt = jnp.dtype(spec.dtype)
         grid = EMBEDDINGS[spec.embed](x.shape)
         x = jnp.concatenate([x, grid], axis=-1)
 
-        h = gelu(Dense(spec.lift_hidden, name="fc")(x))
-        h0 = Dense(spec.width, name="fc0")(h)
+        h = gelu(Dense(spec.lift_hidden, dtype=cdt, name="fc")(x))
+        h0 = Dense(spec.width, dtype=cdt, name="fc0")(h)
         h0 = gelu(h0)
 
         # channels-last -> channels-first
@@ -131,14 +137,20 @@ class UNOModel(nn.Module):
         # --- U-stack --------------------------------------------------------
         outs = []
         cur = v
+        block_cls = (
+            nn.checkpoint(OperatorBlock, static_argnums=(2,))
+            if spec.remat_blocks
+            else OperatorBlock
+        )
         for i, blk in enumerate(spec.blocks):
             out_size = tuple(_scale(d, g) for d, g in zip(base, blk.grid))
-            cur = OperatorBlock(
+            cur = block_cls(
                 in_codim=cur.shape[1],
                 out_codim=blk.channels,
                 modes=blk.modes,
                 normalize=blk.normalize,
                 residual=blk.residual,
+                dtype=cdt,
                 name=f"block{i}",
             )(cur, out_size)
             if blk.skip is not None:

@@ -52,23 +52,33 @@ def _torch_bias_init(fan_in: int):
 
 
 class Dense(nn.Module):
-    """Channels-last linear layer with torch nn.Linear default init."""
+    """Channels-last linear layer with torch nn.Linear default init.
+
+    ``dtype=bfloat16`` runs the matmul in bf16 with f32 accumulation
+    (params stay f32) — the TPU mixed-precision policy.
+    """
 
     features: int
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (x.shape[-1], self.features)
         )
-        y = jnp.dot(x, kernel)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", _torch_bias_init(x.shape[-1]), (self.features,)
             )
             y = y + bias
-        return y
+        return y.astype(self.dtype)
 
 
 def gelu(x: Array) -> Array:
@@ -118,6 +128,7 @@ class PointwiseOp(nn.Module):
     in_codim: int
     out_codim: int
     ndim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
@@ -128,7 +139,12 @@ class PointwiseOp(nn.Module):
             "bias", _torch_bias_init(self.in_codim), (self.out_codim,)
         )
         # channels-first 1x1 conv == tensordot over the channel axis.
-        y = jnp.tensordot(x, kernel, axes=[[1], [0]])
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         y = jnp.moveaxis(y, -1, 1)
         y = y + bias.reshape((1, -1) + (1,) * self.ndim)
 
@@ -157,6 +173,7 @@ class OperatorBlock(nn.Module):
     normalize: bool = False
     non_lin: bool = True
     residual: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
@@ -164,9 +181,9 @@ class OperatorBlock(nn.Module):
         k = SpectralConv(self.in_codim, self.out_codim, self.modes, name="conv")(
             x, out_size
         )
-        w = PointwiseOp(self.in_codim, self.out_codim, ndim, name="w")(
-            x, out_size
-        )
+        w = PointwiseOp(
+            self.in_codim, self.out_codim, ndim, dtype=self.dtype, name="w"
+        )(x, out_size)
         out = k + w
         if self.normalize:
             scale = self.param(
@@ -189,4 +206,4 @@ class OperatorBlock(nn.Module):
             out = out + x
         if self.non_lin:
             out = gelu(out)
-        return out
+        return out.astype(self.dtype)
