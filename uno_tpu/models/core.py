@@ -64,6 +64,12 @@ class UNOSpec:
     # FFTs, spectral weights, and norm statistics stay f32.
     dtype: str = "float32"
     remat_blocks: bool = False         # jax.checkpoint each operator block
+    # Round padded grid sizes up to a multiple (extra zeros on the trailing
+    # edge, cropped exactly).  The reference's Darcy grid pads 211 -> 247
+    # (= 13*19, a terrible FFT size); pad_to=32 gives 256.  Padding is a
+    # free hyperparameter of the method, so this changes the model (like any
+    # pad choice) but not its contract.
+    pad_to: Optional[int] = None
 
 
 def _scale(d: int, f: Fraction) -> int:
@@ -97,7 +103,6 @@ class UNOModel(nn.Module):
 
         # --- domain padding -------------------------------------------------
         pad_cfg = [(0, 0), (0, 0)] + [(0, 0)] * nd
-        crop = None
         if spec.pad_mode == "darcy":
             # pad right/bottom by ceil(S/85)*pad (darcy_flow_uno2d.py:106-107)
             import math
@@ -106,18 +111,18 @@ class UNOModel(nn.Module):
             p = scale * spec.pad
             pad_cfg[-2] = (0, p)
             pad_cfg[-1] = (0, p)
-            crop = ("end2", p)
+            crop_kind = "grid2"
         elif spec.pad_mode == "sym":
             p = spec.pad
             pad_cfg[-2] = (p, p)
             pad_cfg[-1] = (p, p)
-            crop = ("sym2", p)
+            crop_kind = "grid2"
         elif spec.pad_mode == "end":
             # one-sided right/bottom padding (UNO_Tutorial.ipynb cell 20)
             p = spec.pad
             pad_cfg[-2] = (0, p)
             pad_cfg[-1] = (0, p)
-            crop = ("end2", p)
+            crop_kind = "grid2"
         elif spec.pad_mode == "time":
             # int(pad * 0.1 * T) on the trailing (time) axis
             # (navier_stokes_uno3d.py:115-121)
@@ -126,9 +131,20 @@ class UNOModel(nn.Module):
                 pad_cfg[-1] = (p, p)
             else:
                 pad_cfg[-1] = (0, p)
-            crop = ("time", p)
+            crop_kind = "time"
         else:
             raise ValueError(spec.pad_mode)
+        orig_sizes = v.shape[2:]
+        if spec.pad_to:
+            # round padded sizes up to a multiple (trailing zeros, cropped
+            # away exactly below) — friendlier FFT/tile sizes on TPU
+            for ax in range(-nd, 0):
+                if spec.pad_mode == "time" and ax != -1:
+                    continue  # 3D models never pad spatially
+                lo, hi = pad_cfg[ax]
+                n = v.shape[ax] + lo + hi
+                extra = (-n) % spec.pad_to
+                pad_cfg[ax] = (lo, hi + extra)
         if any(a or b for a, b in pad_cfg):
             v = jnp.pad(v, pad_cfg)
 
@@ -165,16 +181,19 @@ class UNOModel(nn.Module):
             outs.append(cur)
 
         # --- crop padding ---------------------------------------------------
-        kind, p = crop
-        if p:
-            if kind == "end2":
-                cur = cur[..., :-p, :-p]
-            elif kind == "sym2":
-                cur = cur[..., p:-p, p:-p]
-            elif kind == "time":
-                c = _scale(p, spec.crop_mult)
-                if c:
-                    cur = cur[..., c:-c] if spec.pad_both else cur[..., :-c]
+        if crop_kind == "grid2":
+            lo1, lo2 = pad_cfg[-2][0], pad_cfg[-1][0]
+            s1, s2 = orig_sizes[-2], orig_sizes[-1]
+            if cur.shape[-2] != s1 or cur.shape[-1] != s2:
+                cur = cur[..., lo1 : lo1 + s1, lo2 : lo2 + s2]
+        else:  # time: crop floor(crop_mult * pad) per padded side
+            lo, hi = pad_cfg[-1]
+            c_lo = _scale(lo, spec.crop_mult)
+            c_hi = _scale(hi, spec.crop_mult)
+            if c_hi:
+                cur = cur[..., :-c_hi]
+            if c_lo:
+                cur = cur[..., c_lo:]
 
         # --- projection -----------------------------------------------------
         y = jnp.moveaxis(cur, 1, -1)
