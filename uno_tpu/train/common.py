@@ -51,6 +51,39 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     )
 
 
+class DataPlacer:
+    """Dataset placement policy.
+
+    Single-chip: the whole dataset is moved to HBM once and batches are
+    gathered on device (no per-step host->device traffic).  With a mesh:
+    datasets stay in host RAM (arbitrary sizes rarely divide the device
+    count) and each batch is device_put with batch sharding; batch sizes
+    must divide the 'data' axis, so trainers force drop_remainder.
+    """
+
+    def __init__(self, mesh, *arrays):
+        self.mesh = mesh
+        if mesh is None:
+            self.arrays = tuple(jnp.asarray(a) for a in arrays)
+        else:
+            from uno_tpu.parallel.mesh import batch_sharding
+
+            self.arrays = tuple(np.asarray(a) for a in arrays)
+            self._sharding = batch_sharding(mesh)
+
+    def batch(self, i, idx):
+        a = self.arrays[i][idx]
+        if self.mesh is None:
+            return a
+        return jax.device_put(a, self._sharding)
+
+    def n_drop(self, batch_size: int) -> int:
+        """Largest per-batch size multiple constraint (mesh data axis)."""
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape.get("data", 1)
+
+
 class BestTracker:
     """Reference best-val selection: save params whenever val improves."""
 

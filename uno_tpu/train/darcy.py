@@ -20,9 +20,14 @@ import numpy as np
 
 from uno_tpu.data.batching import epoch_batches, num_batches
 from uno_tpu.losses import relative_lp_loss
-from uno_tpu.parallel.mesh import replicate, shard_batch
+from uno_tpu.parallel.mesh import replicate
 from uno_tpu.train.checkpoint import CheckpointManager
-from uno_tpu.train.common import BestTracker, TrainConfig, make_optimizer
+from uno_tpu.train.common import (
+    BestTracker,
+    DataPlacer,
+    TrainConfig,
+    make_optimizer,
+)
 from uno_tpu.train.metrics import MetricLogger
 from uno_tpu.train.state import TrainState, apply_updates
 
@@ -53,13 +58,11 @@ def train_darcy(
     state = TrainState.create(params, tx)
     if mesh is not None:
         state = replicate(mesh, state)
+        assert cfg.batch_size % mesh.shape["data"] == 0, (
+            cfg.batch_size, dict(mesh.shape))
 
-    xt = shard_batch(mesh, jnp.asarray(x_train))
-    yt = shard_batch(mesh, jnp.asarray(y_train))
-    xv = shard_batch(mesh, jnp.asarray(x_val))
-    yv = shard_batch(mesh, jnp.asarray(y_val))
-    xs = shard_batch(mesh, jnp.asarray(x_test))
-    ys = shard_batch(mesh, jnp.asarray(y_test))
+    data = DataPlacer(mesh, x_train, y_train, x_val, y_val, x_test, y_test)
+    drop = cfg.drop_remainder or (mesh is not None)
 
     def loss_fn(params, x, y):
         out = model.apply(params, x).reshape(y.shape[0], s, s)
@@ -88,23 +91,31 @@ def train_darcy(
         start_epoch = int(restored["epoch"]) + 1
         best.best_val = float(restored["best_val"])
 
-    def _eval(params, x, y, n) -> float:
+    def _eval(params, ix, iy, n) -> float:
         total = 0.0
-        for idx in epoch_batches(rng, n, cfg.batch_size, shuffle=False):
-            total += float(eval_loss(params, x[idx], y[idx]))
-        return total / n
+        count = 0
+        for idx in epoch_batches(
+            rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop
+        ):
+            total += float(
+                eval_loss(params, data.batch(ix, idx), data.batch(iy, idx))
+            )
+            count += len(idx)
+        return total / max(count, 1)
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         train_l2 = 0.0
+        seen = 0
         for idx in epoch_batches(
-            rng, ntrain, cfg.batch_size, drop_remainder=cfg.drop_remainder
+            rng, ntrain, cfg.batch_size, drop_remainder=drop
         ):
-            state, loss = train_step(state, xt[idx], yt[idx])
+            state, loss = train_step(state, data.batch(0, idx), data.batch(1, idx))
             train_l2 += float(loss)
-        train_l2 /= ntrain
+            seen += len(idx)
+        train_l2 /= max(seen, 1)
 
-        val_l2 = _eval(state.params, xv, yv, nval)
+        val_l2 = _eval(state.params, 2, 3, nval)
         dt = time.perf_counter() - t0
         improved = best.update(val_l2, state.params)
         logger.log(
@@ -115,7 +126,7 @@ def train_darcy(
                 "train_rel_l2": train_l2,
                 "val_rel_l2": val_l2,
                 "epoch_sec": dt,
-                "samples_per_sec": ntrain / dt,
+                "samples_per_sec": seen / dt,
                 "saved": improved,
             }
         )
@@ -128,7 +139,7 @@ def train_darcy(
             )
 
     final_params = best.best_params if best.best_params is not None else state.params
-    test_l2 = _eval(final_params, xs, ys, ntest) if ntest else float("nan")
+    test_l2 = _eval(final_params, 4, 5, ntest) if ntest else float("nan")
     logger.log({"task": "darcy", "test_rel_l2": test_l2})
     return {
         "params": final_params,

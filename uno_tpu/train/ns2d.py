@@ -26,9 +26,14 @@ import numpy as np
 
 from uno_tpu.data.batching import epoch_batches, num_batches
 from uno_tpu.losses import relative_lp_loss
-from uno_tpu.parallel.mesh import replicate, shard_batch
+from uno_tpu.parallel.mesh import replicate
 from uno_tpu.train.checkpoint import CheckpointManager
-from uno_tpu.train.common import BestTracker, TrainConfig, make_optimizer
+from uno_tpu.train.common import (
+    BestTracker,
+    DataPlacer,
+    TrainConfig,
+    make_optimizer,
+)
 from uno_tpu.train.metrics import MetricLogger
 from uno_tpu.train.state import TrainState, apply_updates
 
@@ -83,13 +88,11 @@ def train_ns2d(
     state = TrainState.create(params, tx)
     if mesh is not None:
         state = replicate(mesh, state)
+        assert cfg.batch_size % mesh.shape["data"] == 0, (
+            cfg.batch_size, dict(mesh.shape))
 
-    xt = shard_batch(mesh, jnp.asarray(train_a))
-    yt = shard_batch(mesh, jnp.asarray(train_u))
-    xv = shard_batch(mesh, jnp.asarray(val_a))
-    yv = shard_batch(mesh, jnp.asarray(val_u))
-    xs = shard_batch(mesh, jnp.asarray(test_a))
-    ys = shard_batch(mesh, jnp.asarray(test_u))
+    data = DataPlacer(mesh, train_a, train_u, val_a, val_u, test_a, test_u)
+    drop = cfg.drop_remainder or (mesh is not None)
 
     rollout = make_rollout(model, t_f)
 
@@ -124,23 +127,29 @@ def train_ns2d(
         start_epoch = int(restored["epoch"]) + 1
         best.best_val = float(restored["best_val"])
 
-    def _eval(params, x, y, n):
-        step_total, traj_total = 0.0, 0.0
-        for idx in epoch_batches(rng, n, cfg.batch_size, shuffle=False):
-            l, t = eval_step(params, x[idx], y[idx])
+    def _eval(params, ix, iy, n):
+        step_total, traj_total, count = 0.0, 0.0, 0
+        for idx in epoch_batches(
+            rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop
+        ):
+            l, t = eval_step(params, data.batch(ix, idx), data.batch(iy, idx))
             step_total += float(l)
             traj_total += float(t)
-        return step_total / n / t_f, traj_total / n
+            count += len(idx)
+        count = max(count, 1)
+        return step_total / count / t_f, traj_total / count
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         train_loss = 0.0
+        seen = 0
         for idx in epoch_batches(
-            rng, ntrain, cfg.batch_size, drop_remainder=cfg.drop_remainder
+            rng, ntrain, cfg.batch_size, drop_remainder=drop
         ):
-            state, loss = train_step(state, xt[idx], yt[idx])
+            state, loss = train_step(state, data.batch(0, idx), data.batch(1, idx))
             train_loss += float(loss)
-        train_loss = train_loss / ntrain / t_f
+            seen += len(idx)
+        train_loss = train_loss / max(seen, 1) / t_f
         dt = time.perf_counter() - t0
 
         record = {
@@ -149,10 +158,10 @@ def train_ns2d(
             "step": int(state.step),
             "train_step_rel_l2": train_loss,
             "epoch_sec": dt,
-            "samples_per_sec": ntrain / dt,
+            "samples_per_sec": seen / dt,
         }
         if epoch % cfg.eval_every == 0:
-            val_loss, val_traj = _eval(state.params, xv, yv, nval)
+            val_loss, val_traj = _eval(state.params, 2, 3, nval)
             record["val_step_rel_l2"] = val_loss
             record["val_traj_rel_l2"] = val_traj
             record["saved"] = best.update(val_loss, state.params)
@@ -167,7 +176,7 @@ def train_ns2d(
 
     final_params = best.best_params if best.best_params is not None else state.params
     if ntest:
-        test_step, test_traj = _eval(final_params, xs, ys, ntest)
+        test_step, test_traj = _eval(final_params, 4, 5, ntest)
     else:
         test_step = test_traj = float("nan")
     logger.log(

@@ -19,9 +19,14 @@ import numpy as np
 
 from uno_tpu.data.batching import epoch_batches, num_batches
 from uno_tpu.losses import relative_lp_loss
-from uno_tpu.parallel.mesh import replicate, shard_batch
+from uno_tpu.parallel.mesh import replicate
 from uno_tpu.train.checkpoint import CheckpointManager
-from uno_tpu.train.common import BestTracker, TrainConfig, make_optimizer
+from uno_tpu.train.common import (
+    BestTracker,
+    DataPlacer,
+    TrainConfig,
+    make_optimizer,
+)
 from uno_tpu.train.metrics import MetricLogger
 from uno_tpu.train.state import TrainState, apply_updates
 
@@ -46,25 +51,22 @@ def train_ns3d(
     steps_per_epoch = num_batches(ntrain, cfg.batch_size, cfg.drop_remainder)
     tx = make_optimizer(cfg, steps_per_epoch)
 
-    def _prep(a):
-        return jnp.asarray(a)[..., None]  # (N, S, S, T, 1)
-
-    params = model.init(jax.random.PRNGKey(cfg.seed), _prep(train_a[:1]))
+    params = model.init(
+        jax.random.PRNGKey(cfg.seed), jnp.asarray(train_a[:1])[..., None]
+    )
     state = TrainState.create(params, tx)
     if mesh is not None:
         state = replicate(mesh, state)
+        assert cfg.batch_size % mesh.shape["data"] == 0, (
+            cfg.batch_size, dict(mesh.shape))
 
-    xt = shard_batch(mesh, _prep(train_a))
-    yt = shard_batch(mesh, jnp.asarray(train_u))
-    xv = shard_batch(mesh, _prep(val_a))
-    yv = shard_batch(mesh, jnp.asarray(val_u))
-    xs = shard_batch(mesh, _prep(test_a))
-    ys = shard_batch(mesh, jnp.asarray(test_u))
+    data = DataPlacer(mesh, train_a, train_u, val_a, val_u, test_a, test_u)
+    drop = cfg.drop_remainder or (mesh is not None)
 
     def forward(params, x):
         b = x.shape[0]
         s = x.shape[1]
-        return model.apply(params, x).reshape(b, s, s, t_f)
+        return model.apply(params, x[..., None]).reshape(b, s, s, t_f)
 
     def loss_fn(params, x, y):
         out = forward(params, x)
@@ -109,23 +111,31 @@ def train_ns3d(
         start_epoch = int(restored["epoch"]) + 1
         best.best_val = float(restored["best_val"])
 
-    def _eval(params, x, y, n):
-        full_total, step_total = 0.0, 0.0
-        for idx in epoch_batches(rng, n, cfg.batch_size, shuffle=False):
-            f, sl = eval_step(params, x[idx], y[idx])
+    def _eval(params, ix, iy, n):
+        full_total, step_total, count = 0.0, 0.0, 0
+        for idx in epoch_batches(
+            rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop
+        ):
+            f, sl = eval_step(params, data.batch(ix, idx), data.batch(iy, idx))
             full_total += float(f)
             step_total += float(sl)
-        return full_total / n, step_total / (n * t_f)
+            count += len(idx)
+        count = max(count, 1)
+        return full_total / count, step_total / (count * t_f)
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         train_step_l2 = 0.0
+        seen = 0
         for idx in epoch_batches(
-            rng, ntrain, cfg.batch_size, drop_remainder=cfg.drop_remainder
+            rng, ntrain, cfg.batch_size, drop_remainder=drop
         ):
-            state, loss, step_loss = train_step(state, xt[idx], yt[idx])
+            state, loss, step_loss = train_step(
+                state, data.batch(0, idx), data.batch(1, idx)
+            )
             train_step_l2 += float(step_loss)
-        train_step_l2 /= ntrain * t_f
+            seen += len(idx)
+        train_step_l2 /= max(seen, 1) * t_f
         dt = time.perf_counter() - t0
 
         record = {
@@ -134,10 +144,10 @@ def train_ns3d(
             "step": int(state.step),
             "train_step_rel_l2": train_step_l2,
             "epoch_sec": dt,
-            "samples_per_sec": ntrain / dt,
+            "samples_per_sec": seen / dt,
         }
         if epoch % cfg.eval_every == 0:
-            val_full, val_step = _eval(state.params, xv, yv, nval)
+            val_full, val_step = _eval(state.params, 2, 3, nval)
             record["val_step_rel_l2"] = val_step
             record["val_full_rel_l2"] = val_full
             record["saved"] = best.update(val_step, state.params)
@@ -152,7 +162,7 @@ def train_ns3d(
 
     final_params = best.best_params if best.best_params is not None else state.params
     if ntest:
-        test_full, test_step = _eval(final_params, xs, ys, ntest)
+        test_full, test_step = _eval(final_params, 4, 5, ntest)
     else:
         test_full = test_step = float("nan")
     logger.log(
