@@ -31,7 +31,7 @@ S = 211
 WIDTH = 32
 PAD = 12
 WARMUP = 3
-ITERS = 20
+ITERS = 50  # amortizes the tunneled runtime's per-call transfer (PERF.md)
 
 
 def main() -> None:
@@ -48,7 +48,7 @@ def main() -> None:
     x = jnp.asarray(rng.standard_normal((BATCH, S, S, 1)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((BATCH, S, S)), jnp.float32)
 
-    params = model.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     tx = complex_adam(
         step_lr(1e-3, 100, 0.5, steps_per_epoch=94), weight_decay=1e-3
     )
@@ -73,13 +73,16 @@ def main() -> None:
 
     for _ in range(WARMUP):
         state, loss = train_step(state, x, y)
-    jax.block_until_ready(loss)
+    # float() forces a real d2h read: surfaces any deferred execution error
+    # (block_until_ready alone has been observed not to)
+    assert np.isfinite(float(loss)), loss
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss = train_step(state, x, y)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    assert np.isfinite(float(loss)), loss
 
     sps = BATCH * ITERS / dt
     print(

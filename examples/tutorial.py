@@ -63,7 +63,7 @@ def train_demo(epochs: int):
     y = u.astype(np.float32)
 
     model = build_model("uno_demo", in_width=3, width=16, pad=8)
-    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
     print(f"   parameters: {count_params(params):,}")
 
     tx = complex_adam(1e-3, weight_decay=1e-6)

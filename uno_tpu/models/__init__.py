@@ -29,10 +29,11 @@ MODEL_REGISTRY = {
 }
 
 
-def build_model(name: str, dtype=None, remat_blocks=None, **kwargs):
+def build_model(name: str, dtype=None, remat_blocks=None, pad_to=None, **kwargs):
     """Returns a UNOModel for a registered spec name.
 
-    ``dtype``/``remat_blocks`` override the spec's precision/remat policy.
+    ``dtype``/``remat_blocks``/``pad_to`` override the spec's
+    precision/remat/padding policies.
     """
     import dataclasses
 
@@ -42,6 +43,8 @@ def build_model(name: str, dtype=None, remat_blocks=None, **kwargs):
         over["dtype"] = dtype
     if remat_blocks is not None:
         over["remat_blocks"] = remat_blocks
+    if pad_to is not None:
+        over["pad_to"] = pad_to
     if over:
         spec = dataclasses.replace(spec, **over)
     return UNOModel(spec)

@@ -61,6 +61,32 @@ def _pad_lanes(x, m):
     return x
 
 
+def _round_tile(n: int, want: int) -> int:
+    """Largest divisor of n that is a multiple of 8 and <= want (or n)."""
+    if want >= n:
+        return n
+    t = max((want // 8) * 8, 8)
+    while t >= 8 and n % t:
+        t -= 8
+    return n if (t < 8 or n % t) else t
+
+
+def _pick_tiles(a: int, k: int, c: int) -> Tuple[int, int]:
+    """(A tile, C tile) keeping VMEM within budget.
+
+    Mosaic double-buffers every blocked operand, so each block costs
+    2 (buffers) x 2 (re/im) x 4 bytes per element; the f32 accumulators add
+    a single-buffered copy of the output block.
+    """
+    budget = 10 * 1024 * 1024
+    # u block 2x-buffered re+im: keep within ~half the budget
+    at = _round_tile(a, (budget // 2) // max(16 * k * LANE, 1))
+    fixed = 16 * at * k * LANE
+    per_c = 16 * (k + at) * LANE + 8 * at * LANE
+    ct = _round_tile(c, max((budget - fixed) // max(per_c, 1), 8))
+    return at, ct
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lane_contract(ur, ui, vr, vi, interpret: bool = False):
     """(A, K, M) x (K, C, M) -> (A, C, M), complex via separate re/im planes."""
@@ -69,21 +95,30 @@ def lane_contract(ur, ui, vr, vi, interpret: bool = False):
     ur, ui = _pad_lanes(ur, m), _pad_lanes(ui, m)
     vr, vi = _pad_lanes(vr, m), _pad_lanes(vi, m)
     mp = ur.shape[-1]
-    grid = (mp // LANE,)
+    at, ct = _pick_tiles(a, k, c)
+    # grid (m, a, c), c innermost: the u block stays resident across all c
+    # tiles of one (m, a) while v/y stream.
+    grid = (mp // LANE, a // at, c // ct)
 
-    def idx(i):
-        return (0, 0, i)
+    def idx_u(i, j, l):
+        return (j, 0, i)
+
+    def idx_v(i, j, l):
+        return (0, l, i)
+
+    def idx_y(i, j, l):
+        return (j, l, i)
 
     specs = dict(
         in_specs=[
-            pl.BlockSpec((a, k, LANE), idx),
-            pl.BlockSpec((a, k, LANE), idx),
-            pl.BlockSpec((k, c, LANE), idx),
-            pl.BlockSpec((k, c, LANE), idx),
+            pl.BlockSpec((at, k, LANE), idx_u),
+            pl.BlockSpec((at, k, LANE), idx_u),
+            pl.BlockSpec((k, ct, LANE), idx_v),
+            pl.BlockSpec((k, ct, LANE), idx_v),
         ],
         out_specs=[
-            pl.BlockSpec((a, c, LANE), idx),
-            pl.BlockSpec((a, c, LANE), idx),
+            pl.BlockSpec((at, ct, LANE), idx_y),
+            pl.BlockSpec((at, ct, LANE), idx_y),
         ],
     )
     yr, yi = pl.pallas_call(

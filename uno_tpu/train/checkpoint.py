@@ -34,7 +34,12 @@ def _to_numpy(tree):
 
 
 def _decode_against(template, restored):
-    """Reassemble complex leaves encoded by ``_to_numpy``."""
+    """Reassemble complex leaves encoded by ``_to_numpy``.
+
+    Complex leaves are rebuilt ON DEVICE from the real pairs (host->device
+    transfers of complex arrays are broken on some TPU runtimes — see
+    ``_to_numpy``); real leaves stay as numpy for the caller to place.
+    """
 
     def leaf(t, r):
         r = np.asarray(r)
@@ -44,7 +49,10 @@ def _decode_against(template, restored):
             and r.ndim == np.asarray(t).ndim + 1
             and r.shape[-1] == 2
         ):
-            return (r[..., 0] + 1j * r[..., 1]).astype(np.asarray(t).dtype)
+            pairs = jnp.asarray(r.astype(np.float32))
+            return jax.jit(lambda p: jax.lax.complex(p[..., 0], p[..., 1]))(
+                pairs
+            ).astype(np.asarray(t).dtype)
         return r.astype(np.asarray(t).dtype) if hasattr(t, "dtype") else r
 
     return jax.tree.map(leaf, template, restored)

@@ -95,7 +95,10 @@ class BestTracker:
     def update(self, val: float, params) -> bool:
         if val < self.best_val:
             self.best_val = val
-            self.best_params = jax.tree.map(jnp.copy, params)
+            # jit: eager complex copies are unimplemented on some runtimes
+            self.best_params = jax.jit(
+                lambda p: jax.tree.map(jnp.copy, p)
+            )(params)
             if self.ckpt is not None:
                 self.ckpt.save("best_params", self.best_params)
             return True

@@ -52,7 +52,7 @@ def train_darcy(
     steps_per_epoch = num_batches(ntrain, cfg.batch_size, cfg.drop_remainder)
     tx = make_optimizer(cfg, steps_per_epoch)
 
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.seed), jnp.asarray(x_train[:1])
     )
     state = TrainState.create(params, tx)

@@ -84,7 +84,7 @@ def train_ns2d(
     steps_per_epoch = num_batches(ntrain, cfg.batch_size, cfg.drop_remainder)
     tx = make_optimizer(cfg, steps_per_epoch)
 
-    params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(train_a[:1]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), jnp.asarray(train_a[:1]))
     state = TrainState.create(params, tx)
     if mesh is not None:
         state = replicate(mesh, state)

@@ -51,7 +51,7 @@ def train_ns3d(
     steps_per_epoch = num_batches(ntrain, cfg.batch_size, cfg.drop_remainder)
     tx = make_optimizer(cfg, steps_per_epoch)
 
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.seed), jnp.asarray(train_a[:1])[..., None]
     )
     state = TrainState.create(params, tx)

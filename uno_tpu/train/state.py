@@ -18,9 +18,11 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        # jit: eager ops on complex arrays are unimplemented on some TPU
+        # runtimes (axon); under jit they lower fine.
         return cls(
             params=params,
-            opt_state=tx.init(params),
+            opt_state=jax.jit(tx.init)(params),
             step=jnp.zeros([], jnp.int32),
         )
 
