@@ -45,7 +45,9 @@ def _run_parity(dtype, wd):
     m_np = np.zeros_like(p0)
     v_np = np.zeros_like(p0, dtype=np.float32 if dtype != np.complex128 else np.float64)
     for i, g in enumerate(grads, start=1):
-        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        # the oracle consumes torch-convention (descent-ready) gradients;
+        # complex_adam consumes jax.grad outputs, which are their conjugates
+        updates, state = opt.update({"w": jnp.asarray(np.conj(g))}, state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         p_np, m_np, v_np = numpy_adam_step(
             p_np, g, m_np, v_np, i, lr, b1, b2, eps, wd
@@ -67,6 +69,26 @@ def test_adam_complex_no_wd():
 
 def test_adam_complex_wd():
     _run_parity(np.complex64, 1e-3)
+
+
+def test_complex_descent_both_components():
+    """Minimising |w|^2 with jax.grad-convention gradients must shrink BOTH
+    the real and imaginary parts (regression: jax.grad returns the conjugate
+    of the descent gradient for complex leaves)."""
+    opt = complex_adam(5e-2)
+    params = {"w": jnp.asarray([3.0 + 4.0j], jnp.complex64)}
+    state = opt.init(params)
+
+    def loss(p):
+        return jnp.sum(jnp.abs(p["w"]) ** 2)
+
+    for _ in range(100):
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    w = np.asarray(params["w"])[0]
+    assert abs(w.real) < 1.0, w
+    assert abs(w.imag) < 1.5, w
 
 
 def test_complex_second_moment_is_shared():

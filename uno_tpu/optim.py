@@ -59,6 +59,12 @@ def complex_adam(
         return ComplexAdamState(jnp.zeros([], jnp.int32), mu, nu, max_nu)
 
     def update_fn(updates, state, params=None):
+        # jax.grad's complex convention returns the CONJUGATE of the descent
+        # gradient (for f: C->R, descend via z - lr*conj(grad f) — JAX
+        # autodiff cookbook); torch's autograd hands the reference Adam the
+        # descent-ready gradient directly.  Conjugate here so the imaginary
+        # parts of complex spectral weights descend (no-op on real leaves).
+        updates = jax.tree.map(jnp.conj, updates)
         if weight_decay != 0.0:
             if params is None:
                 raise ValueError("complex_adam with weight_decay needs params")
