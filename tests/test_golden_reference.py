@@ -155,3 +155,77 @@ def test_uno_p_parity():
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     rel = _rel_l2(got, want)
     assert rel < 1e-4, rel
+
+
+def test_uno3d_t20_parity():
+    import torch
+    from navier_stokes_uno3d import Uno3D_T20
+
+    from uno_tpu.models import build_model
+
+    tm = Uno3D_T20(6, 4, pad=2).eval()
+    model = build_model("uno3d_t20", in_width=6, width=4, pad=2)
+
+    x = np.random.default_rng(4).standard_normal((1, 64, 64, 10, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = _map_params(
+        model,
+        params,
+        tm,
+        ["conv0", "conv1", "conv2", "conv3", "conv6", "conv7", "conv8"],
+        lift_attr="fc",
+    )
+    with torch.no_grad():
+        want = _t2n(tm(torch.from_numpy(x)))
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == want.shape
+    rel = _rel_l2(got, want)
+    assert rel < 1e-4, rel
+
+
+def test_uno3d_t9_parity():
+    import torch
+    from navier_stokes_uno3d import Uno3D_T9
+
+    from uno_tpu.models import build_model
+
+    tm = Uno3D_T9(6, 4, pad=2).eval()
+    model = build_model("uno3d_t9", in_width=6, width=4, pad=2)
+
+    x = np.random.default_rng(5).standard_normal((1, 64, 64, 6, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = _map_params(
+        model,
+        params,
+        tm,
+        ["conv0", "conv1", "conv2", "conv3", "conv6", "conv7", "conv8"],
+        lift_attr="fc",
+    )
+    with torch.no_grad():
+        want = _t2n(tm(torch.from_numpy(x)))
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == want.shape
+    rel = _rel_l2(got, want)
+    assert rel < 1e-4, rel
+
+
+@pytest.mark.slow
+def test_uno_s256_parity():
+    import torch
+    from navier_stokes_uno2d import UNO_S256
+
+    from uno_tpu.models import build_model
+
+    tm = UNO_S256(14, 8).eval()
+    model = build_model("uno_s256", in_width=14, width=8, pad=0)
+
+    x = np.random.default_rng(6).standard_normal((1, 256, 256, 10)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = _map_params(
+        model, params, tm, [f"L{i}" for i in range(7)], lift_attr="fc"
+    )
+    with torch.no_grad():
+        want = _t2n(tm(torch.from_numpy(x)))
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    rel = _rel_l2(got, want)
+    assert rel < 1e-4, rel
