@@ -12,6 +12,10 @@ Run: python examples/tutorial.py [--epochs 50]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
