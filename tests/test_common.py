@@ -1,0 +1,31 @@
+"""Trainer-common machinery: optimizer wiring, compat scheduler flag."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from uno_tpu.optim import step_lr
+from uno_tpu.train.common import TrainConfig, make_optimizer
+
+
+def test_compat_even_epoch_scheduler_doubles_step_size():
+    """ns_train_2d.py:74,113 steps the scheduler only on even epochs, making
+    the effective StepLR period 2x nominal; the compat flag reproduces it."""
+    spe = 10
+    base = TrainConfig(learning_rate=1e-3, scheduler_step=5, scheduler_gamma=0.5)
+    compat = TrainConfig(
+        learning_rate=1e-3, scheduler_step=5, scheduler_gamma=0.5,
+        compat_even_epoch_scheduler=True,
+    )
+    # peek at the schedules through the transforms' first update
+    s_base = step_lr(1e-3, 5, 0.5, spe)
+    s_compat = step_lr(1e-3, 10, 0.5, spe)
+
+    # epoch 5 (first step of): count = 5*spe + 1
+    c = jnp.asarray(5 * spe + 1)
+    np.testing.assert_allclose(float(s_base(c)), 5e-4)
+    np.testing.assert_allclose(float(s_compat(c)), 1e-3)
+
+    # the configs build transforms without error
+    assert make_optimizer(base, spe) is not None
+    assert make_optimizer(compat, spe) is not None
