@@ -12,7 +12,6 @@ asks for >=3x A100 samples/sec/chip, i.e. vs_baseline >= 3).
 """
 
 import json
-import sys
 import time
 from functools import partial
 

@@ -18,8 +18,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
-from typing import Optional
-
 import numpy as np
 
 

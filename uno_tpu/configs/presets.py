@@ -14,8 +14,8 @@ One preset per reference entry script (SURVEY.md §2.3 / BASELINE.md):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from typing import Any, Dict, Optional
+from dataclasses import dataclass, replace
+from typing import Any, Dict
 
 from uno_tpu.train.common import TrainConfig
 

@@ -8,10 +8,9 @@ host<->device boundary disappears from the hot loop.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array

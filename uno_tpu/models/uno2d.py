@@ -22,7 +22,6 @@ driver uses pad=0).  We crop symmetrically.
 from __future__ import annotations
 
 from fractions import Fraction as F
-from typing import Tuple
 
 from uno_tpu.models.core import LIFT, BlockSpec, UNOSpec
 

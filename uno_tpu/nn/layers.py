@@ -18,7 +18,7 @@ All modules take channels-first inputs ``(B, C, *spatial)`` and a **static**
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ machinery); parallelism here is net-new, TPU-first:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -13,8 +13,7 @@ from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from jax import shard_map  # jax>=0.8
 

@@ -2,20 +2,15 @@
 
 from __future__ import annotations
 
-import dataclasses
-import time
 from dataclasses import dataclass
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from uno_tpu.optim import complex_adam, step_lr
-from uno_tpu.parallel.mesh import replicate, shard_batch
 from uno_tpu.train.checkpoint import CheckpointManager
-from uno_tpu.train.metrics import MetricLogger
-from uno_tpu.train.state import TrainState, apply_updates
 
 
 @dataclass
