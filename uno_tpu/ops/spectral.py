@@ -98,6 +98,10 @@ def set_pallas_mode(enabled, interpret: bool = False) -> None:
 def _pallas_enabled() -> bool:
     if _PALLAS_MODE is not None:
         return _PALLAS_MODE
+    import os
+
+    if os.environ.get("UNO_TPU_NO_PALLAS"):
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:
