@@ -68,6 +68,9 @@ def solve_darcy(
     return p * mask
 
 
+@partial(
+    jax.jit, static_argnames=("n", "s", "alpha", "tau", "coef_mode", "maxiter")
+)
 def generate_darcy_batch(
     key: jax.Array,
     n: int,
@@ -78,7 +81,11 @@ def generate_darcy_batch(
     maxiter: int = 2000,
 ) -> Tuple[Array, Array]:
     """Sample (coefficients, solutions) like demo.m: lognormal (exp of GRF)
-    or thresholded (12 / 4) coefficients, forcing f ≡ 1."""
+    or thresholded (12 / 4) coefficients, forcing f ≡ 1.
+
+    Fully jitted (incl. the GRF sampling) — some TPU runtimes can't execute
+    eager ops reliably.
+    """
     from uno_tpu.data.grf import darcy_grf
 
     g = darcy_grf(key, n, s, alpha, tau)

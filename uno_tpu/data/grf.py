@@ -65,11 +65,14 @@ class GaussianRF:
         self.sqrt_eig = jnp.asarray(sqrt_eig, jnp.float32)
 
     def sample(self, key: jax.Array, n: int) -> Array:
+        # jit: complex arithmetic must not run eagerly on some TPU runtimes
+        return jax.jit(self._sample, static_argnums=1)(key, n)
+
+    def _sample(self, key: jax.Array, n: int) -> Array:
         shape = (n,) + (self.size,) * self.dim
         kr, ki = jax.random.split(key)
-        coeff = self.sqrt_eig * (
-            jax.random.normal(kr, shape)
-            + 1j * jax.random.normal(ki, shape)
+        coeff = self.sqrt_eig * jax.lax.complex(
+            jax.random.normal(kr, shape), jax.random.normal(ki, shape)
         )
         axes = tuple(range(1, self.dim + 1))
         return jnp.real(jnp.fft.ifftn(coeff, axes=axes))
