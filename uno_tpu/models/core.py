@@ -93,6 +93,12 @@ class UNOModel(nn.Module):
         cdt = jnp.dtype(spec.dtype)
         grid = EMBEDDINGS[spec.embed](x.shape)
         x = jnp.concatenate([x, grid], axis=-1)
+        if x.shape[-1] != spec.in_width:
+            raise ValueError(
+                f"{spec.name}: in_width={spec.in_width} but data+embedding "
+                f"supply {x.shape[-1]} channels ({grid.shape[-1]} from "
+                f"'{spec.embed}')"
+            )
 
         h = gelu(Dense(spec.lift_hidden, dtype=cdt, name="fc")(x))
         h0 = Dense(spec.width, dtype=cdt, name="fc0")(h)
