@@ -34,16 +34,24 @@ class TrainConfig:
     log_tensorboard: Optional[str] = None
 
 
-def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, with_schedule=False):
     eff_sched_epochs = cfg.scheduler_step * (
         2 if cfg.compat_even_epoch_scheduler else 1
     )
     schedule = step_lr(
         cfg.learning_rate, eff_sched_epochs, cfg.scheduler_gamma, steps_per_epoch
     )
-    return complex_adam(
-        schedule, weight_decay=cfg.weight_decay
-    )
+    tx = complex_adam(schedule, weight_decay=cfg.weight_decay)
+    if with_schedule:
+        return tx, schedule
+    return tx
+
+
+def lr_at(cfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
+    """Learning rate in effect at optimizer step ``step`` (for logging)."""
+    eff = cfg.scheduler_step * (2 if cfg.compat_even_epoch_scheduler else 1)
+    epoch = max(step - 1, 0) // steps_per_epoch
+    return cfg.learning_rate * cfg.scheduler_gamma ** (epoch // eff)
 
 
 class DataPlacer:

@@ -26,6 +26,7 @@ from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
     TrainConfig,
+    lr_at,
     make_optimizer,
 )
 from uno_tpu.train.metrics import MetricLogger
@@ -123,6 +124,7 @@ def train_darcy(
                 "task": "darcy",
                 "epoch": epoch,
                 "step": int(state.step),
+                "lr": lr_at(cfg, steps_per_epoch, int(state.step)),
                 "train_rel_l2": train_l2,
                 "val_rel_l2": val_l2,
                 "epoch_sec": dt,

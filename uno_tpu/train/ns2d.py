@@ -32,6 +32,7 @@ from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
     TrainConfig,
+    lr_at,
     make_optimizer,
 )
 from uno_tpu.train.metrics import MetricLogger
@@ -156,6 +157,7 @@ def train_ns2d(
             "task": "ns2d",
             "epoch": epoch,
             "step": int(state.step),
+            "lr": lr_at(cfg, steps_per_epoch, int(state.step)),
             "train_step_rel_l2": train_loss,
             "epoch_sec": dt,
             "samples_per_sec": seen / dt,

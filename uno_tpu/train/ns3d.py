@@ -25,6 +25,7 @@ from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
     TrainConfig,
+    lr_at,
     make_optimizer,
 )
 from uno_tpu.train.metrics import MetricLogger
@@ -142,6 +143,7 @@ def train_ns3d(
             "task": "ns3d",
             "epoch": epoch,
             "step": int(state.step),
+            "lr": lr_at(cfg, steps_per_epoch, int(state.step)),
             "train_step_rel_l2": train_step_l2,
             "epoch_sec": dt,
             "samples_per_sec": seen / dt,
