@@ -19,3 +19,24 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: uno_tpu.build_model, uno_tpu.TrainConfig, ...
+    if name in ("build_model", "MODEL_REGISTRY", "UNOModel", "UNOSpec"):
+        import uno_tpu.models as m
+
+        return getattr(m, name)
+    if name in ("TrainConfig", "train_darcy", "train_ns2d", "train_ns3d"):
+        import uno_tpu.train as t
+
+        return getattr(t, name)
+    if name == "relative_lp_loss":
+        from uno_tpu.losses import relative_lp_loss
+
+        return relative_lp_loss
+    if name in ("complex_adam", "step_lr"):
+        import uno_tpu.optim as o
+
+        return getattr(o, name)
+    raise AttributeError(name)
