@@ -42,18 +42,22 @@ def _decode_against(template, restored):
     """
 
     def leaf(t, r):
+        # use dtype/ndim attributes only — np.asarray(t) would d2h-transfer
+        # the template (hangs for complex leaves on the axon runtime)
         r = np.asarray(r)
+        td = getattr(t, "dtype", None)
+        tn = getattr(t, "ndim", None)
         if (
-            hasattr(t, "dtype")
-            and jnp.issubdtype(np.asarray(t).dtype, np.complexfloating)
-            and r.ndim == np.asarray(t).ndim + 1
+            td is not None
+            and jnp.issubdtype(td, jnp.complexfloating)
+            and r.ndim == tn + 1
             and r.shape[-1] == 2
         ):
             pairs = jnp.asarray(r.astype(np.float32))
             return jax.jit(lambda p: jax.lax.complex(p[..., 0], p[..., 1]))(
                 pairs
-            ).astype(np.asarray(t).dtype)
-        return r.astype(np.asarray(t).dtype) if hasattr(t, "dtype") else r
+            ).astype(td)
+        return r.astype(td) if td is not None else r
 
     return jax.tree.map(leaf, template, restored)
 
