@@ -82,6 +82,31 @@ def spectral_weight_init(
     return (scale * (re + 1j * im)).astype(dtype)
 
 
+# Transform policy: None = auto (partial-DFT matmuls on TPU, FFT elsewhere),
+# True/False = forced.  See ops/dft.py for why matmul DFT wins on the MXU.
+_DFT_MODE = None
+
+
+def set_dft_mode(enabled) -> None:
+    """Force (True/False) or auto-select (None) the partial-DFT matmul path
+    for the spectral transforms."""
+    global _DFT_MODE
+    _DFT_MODE = enabled
+
+
+def _dft_enabled() -> bool:
+    if _DFT_MODE is not None:
+        return _DFT_MODE
+    import os
+
+    if os.environ.get("UNO_TPU_NO_DFT"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 # Pallas kernel policy: None = auto (TPU only), True/False = forced.
 _PALLAS_MODE = None
 _PALLAS_INTERPRET = False
@@ -102,10 +127,16 @@ def _pallas_enabled() -> bool:
 
     if os.environ.get("UNO_TPU_NO_PALLAS"):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    if os.environ.get("UNO_TPU_PALLAS"):
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    # Off by default since round 2: with the partial-DFT transform path the
+    # custom-call boundary costs more (layout copies + lost fusion) than the
+    # kernel saves, and the XLA Karatsuba path at precision=HIGHEST matches
+    # its accuracy (PERF.md round-2 measurements: 29.3 -> 26.3 ms/step).
+    return False
 
 
 def _complex_mode_matmul(x_ft: Array, w: Array) -> Array:
@@ -140,7 +171,14 @@ def _complex_mode_matmul(x_ft: Array, w: Array) -> Array:
     dn = (((2,), (1,)), ((0,), (0,)))  # contract Ci; batch over modes
 
     def bmm(u, v):
-        return jax.lax.dot_general(u, v, dn, preferred_element_type=jnp.float32)
+        # HIGHEST: f32-accurate multi-pass bf16 on TPU.  The mode counts are
+        # tiny, so full precision here is ~free and avoids the ~4e-3 error of
+        # single-pass bf16 complex contractions (PERF.md).
+        return jax.lax.dot_general(
+            u, v, dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     # Karatsuba: 3 real batched GEMMs instead of 4.
     t1 = bmm(xa, wa)
@@ -170,6 +208,15 @@ def spectral_conv_1d(
         raise ValueError(
             f"modes1={m1} incompatible with input {x.shape[-1]} / output {d1}"
         )
+    if _dft_enabled():
+        from uno_tpu.ops import dft
+
+        n = x.shape[-1]
+        xr, xi = dft.fwd_partial_real(
+            x.astype(jnp.float32), -1, n, range(m1)
+        )
+        out = _complex_mode_matmul(jax.lax.complex(xr, xi), weights[0])
+        return dft.inv_rfft(jnp.real(out), jnp.imag(out), -1, d1)
     x_ft = jnp.fft.rfft(x.astype(jnp.float32), norm="forward")
     out_low = _complex_mode_matmul(x_ft[:, :, :m1], weights[0])
     b, co = out_low.shape[:2]
@@ -194,12 +241,29 @@ def spectral_conv_2d(
     if m1 > d1 or m1 > h or m2 > d2 // 2 + 1 or m2 > x.shape[-1] // 2 + 1:
         raise ValueError(f"modes {modes} incompatible with in {x.shape} out {out_size}")
 
+    w = jnp.concatenate([weights[0], weights[1]], axis=2)  # (Ci, Co, 2*m1, m2)
+
+    if _dft_enabled():
+        from uno_tpu.ops import dft
+
+        w_in = x.shape[-1]
+        rows = tuple(range(m1)) + tuple(range(h - m1, h))
+        xr, xi = dft.fwd_partial_real(x.astype(jnp.float32), -2, h, rows)
+        xr, xi = dft.fwd_partial_complex(xr, xi, -1, w_in, range(m2))
+        out = _complex_mode_matmul(jax.lax.complex(xr, xi), w)
+        n_top = min(m1, d1 - m1)
+        kept = jnp.concatenate([out[:, :, :n_top], out[:, :, m1:]], axis=2)
+        idx_out = tuple(range(n_top)) + tuple(range(d1 - m1, d1))
+        yr, yi = dft.inv_full(
+            jnp.real(kept), jnp.imag(kept), -2, d1, idx_out
+        )
+        return dft.inv_rfft(yr, yi, -1, d2)
+
     x_ft = jnp.fft.rfft2(x.astype(jnp.float32), norm="forward")
 
     corners = jnp.concatenate(
         [x_ft[:, :, :m1, :m2], x_ft[:, :, h - m1 :, :m2]], axis=2
     )  # (B, Ci, 2*m1, m2)
-    w = jnp.concatenate([weights[0], weights[1]], axis=2)  # (Ci, Co, 2*m1, m2)
     out = _complex_mode_matmul(corners, w)  # (B, Co, 2*m1, m2)
     out_top, out_bot = out[:, :, :m1], out[:, :, m1:]
 
@@ -241,6 +305,34 @@ def spectral_conv_3d(
     ):
         raise ValueError(f"modes {modes} incompatible with in {x.shape} out {out_size}")
 
+    w_lo = jnp.concatenate([weights[0], weights[2]], axis=3)
+    w_hi = jnp.concatenate([weights[1], weights[3]], axis=3)
+    w = jnp.concatenate([w_lo, w_hi], axis=2)  # (Ci, Co, 2*m1, 2*m2, m3)
+
+    if _dft_enabled():
+        from uno_tpu.ops import dft
+
+        t_in = x.shape[-1]
+        rows_x = tuple(range(m1)) + tuple(range(sx - m1, sx))
+        rows_y = tuple(range(m2)) + tuple(range(sy - m2, sy))
+        xr, xi = dft.fwd_partial_real(
+            x.astype(jnp.float32), -1, t_in, range(m3)
+        )
+        xr, xi = dft.fwd_partial_complex(xr, xi, -3, sx, rows_x)
+        xr, xi = dft.fwd_partial_complex(xr, xi, -2, sy, rows_y)
+        out = _complex_mode_matmul(jax.lax.complex(xr, xi), w)
+        n_x = min(m1, d1 - m1)
+        n_y = min(m2, d2 - m2)
+        kept = jnp.concatenate([out[:, :, :n_x], out[:, :, m1:]], axis=2)
+        kept = jnp.concatenate(
+            [kept[:, :, :, :n_y], kept[:, :, :, m2:]], axis=3
+        )
+        idx_x = tuple(range(n_x)) + tuple(range(d1 - m1, d1))
+        idx_y = tuple(range(n_y)) + tuple(range(d2 - m2, d2))
+        yr, yi = dft.inv_full(jnp.real(kept), jnp.imag(kept), -3, d1, idx_x)
+        yr, yi = dft.inv_full(yr, yi, -2, d2, idx_y)
+        return dft.inv_rfft(yr, yi, -1, d3)
+
     x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(-3, -2, -1), norm="forward")
 
     # Gather the four corners into a (B, Ci, 2*m1, 2*m2, m3) block, laid out
@@ -253,10 +345,6 @@ def spectral_conv_3d(
         axis=3,
     )
     corners = jnp.concatenate([lo_x, hi_x], axis=2)
-
-    w_lo = jnp.concatenate([weights[0], weights[2]], axis=3)
-    w_hi = jnp.concatenate([weights[1], weights[3]], axis=3)
-    w = jnp.concatenate([w_lo, w_hi], axis=2)  # (Ci, Co, 2*m1, 2*m2, m3)
 
     out = _complex_mode_matmul(corners, w)  # (B, Co, 2*m1, 2*m2, m3)
 
