@@ -1,17 +1,28 @@
-"""Benchmark: Darcy UNO_9 training throughput on the reference headline config.
+"""Benchmark: training throughput on the reference headline configs.
 
-Runs the S=211, width=32, batch=16 training step (darcy_flow_main.py:44-117)
-on whatever accelerator JAX exposes and prints ONE JSON line:
+Default run: the Darcy UNO_9 S=211 batch=16 config (darcy_flow_main.py:44-117)
+on whatever accelerator JAX exposes.  Prints ONE JSON line to stdout:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+and writes a detail record (per-config ms/step, analytic model FLOPs,
+achieved FLOP/s, MFU vs the chip's f32-effective matmul peak) to
+``bench_detail.json``.  ``python bench.py --full`` additionally benchmarks
+the NS-2D rollout and NS-3D configs into the detail file.
 
 ``vs_baseline`` compares samples/sec/chip against A100_REF_SAMPLES_PER_SEC,
 an estimate of the PyTorch reference on one A100 for the same config (the
 reference publishes no numbers — BASELINE.md; the BASELINE.json north star
 asks for >=3x A100 samples/sec/chip, i.e. vs_baseline >= 3).
+
+Timing methodology: the loss of the final step is read back to the host
+(``float(loss)``) *inside* the timed region — on the session's relay
+runtime ``block_until_ready`` does not synchronize (CLAUDE.md), and the
+data-dependent d2h read is the only reliable fence.
 """
 
 import json
+import sys
 import time
 from functools import partial
 
@@ -25,15 +36,61 @@ import numpy as np
 # => ~30-35ms/step => ~480 samples/s.
 A100_REF_SAMPLES_PER_SEC = 480.0
 
-BATCH = 16
-S = 211
-WIDTH = 32
-PAD = 12
+# v5e-1 peak: 197 TFLOP/s bf16; f32-accurate (3-pass bf16, precision=HIGH+)
+# matmul peak is ~1/3 of that.  MFU below is vs the bf16 peak, the honest
+# denominator for "how much of the chip could this step ever use".
+TPU_V5E_BF16_PEAK = 197e12
+
 WARMUP = 3
-ITERS = 50  # amortizes the tunneled runtime's per-call transfer (PERF.md)
+ITERS = 50
 
 
-def main() -> None:
+def _time_steps(train_step, state, batches, iters):
+    """ms/step with the forcing d2h read inside the timed region."""
+    t0 = time.perf_counter()
+    loss = None
+    for i in range(iters):
+        x, y = batches[i % len(batches)]
+        state, loss = train_step(state, x, y)
+    lv = float(loss)  # d2h read = the only reliable fence on this runtime
+    dt = time.perf_counter() - t0
+    assert np.isfinite(lv), lv
+    return dt / iters, state
+
+
+def _spectral_conv_flops_2d(b, ci, co, h, w_in, d1, d2, m1, m2):
+    """Analytic forward FLOPs of one 2D spectral conv on the DFT path
+    (real-matmul transforms + Karatsuba contraction), f32-effective."""
+    rows = 2 * m1
+    fwd_rows = 2 * 2 * rows * h * (b * ci * w_in)        # cos+sin matmuls
+    fwd_cols = 4 * 2 * m2 * w_in * (b * ci * rows)       # complex x real pair
+    contract = 3 * 2 * (2 * m1 * m2) * b * ci * co       # Karatsuba bmm
+    inv_rows = 4 * 2 * d1 * rows * (b * co * m2)
+    inv_cols = 2 * 2 * d2 * m2 * (b * co * d1)
+    return fwd_rows + fwd_cols + contract + inv_rows + inv_cols
+
+
+def darcy_model_flops(batch, s, width, pad):
+    """Rough analytic fwd FLOPs of UNO_9 at the bench config (spectral convs
+    + full-res dense layers; resizes and elementwise excluded)."""
+    p = s + 2 * pad
+    grids = [p, p // 2, p // 4, p // 4, p // 2, p]
+    chans = [width, 2 * width, 4 * width, 4 * width, 2 * width, width]
+    modes = [18, 8, 8, 8, 18]
+    total = 0.0
+    for i in range(5):
+        total += _spectral_conv_flops_2d(
+            batch, chans[i], chans[i + 1] if i < 4 else width,
+            grids[i], grids[i], grids[i + 1], grids[i + 1],
+            modes[i], modes[i],
+        )
+    # lift (3->w/2->w) + projection (2w->w->1) dense at s^2
+    total += 2 * batch * s * s * (3 * width // 2 + width // 2 * width)
+    total += 2 * batch * s * s * (2 * width * width + width)
+    return total
+
+
+def bench_darcy():
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +99,7 @@ def main() -> None:
     from uno_tpu.optim import complex_adam, step_lr
     from uno_tpu.train.state import TrainState, apply_updates
 
+    BATCH, S, WIDTH, PAD = 16, 211, 32, 12
     model = build_model("uno9", in_width=3, width=WIDTH, pad=PAD)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, S, S, 1)), jnp.float32)
@@ -72,23 +130,155 @@ def main() -> None:
 
     for _ in range(WARMUP):
         state, loss = train_step(state, x, y)
-    # float() forces a real d2h read: surfaces any deferred execution error
-    # (block_until_ready alone has been observed not to)
     assert np.isfinite(float(loss)), loss
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+    sec_per_step, state = _time_steps(train_step, state, [(x, y)], ITERS)
+    sps = BATCH / sec_per_step
+    fwd_flops = darcy_model_flops(BATCH, S, WIDTH, PAD)
+    step_flops = 3 * fwd_flops  # fwd + ~2x bwd
+    return {
+        "config": "darcy_s211_uno9 (darcy_flow_main.py:44-117)",
+        "ms_per_step": round(sec_per_step * 1000, 2),
+        "samples_per_sec_per_chip": round(sps, 2),
+        "model_flops_fwd": fwd_flops,
+        "train_step_flops": step_flops,
+        "achieved_tflops": round(step_flops / sec_per_step / 1e12, 2),
+        "mfu_vs_bf16_peak": round(
+            step_flops / sec_per_step / TPU_V5E_BF16_PEAK, 4
+        ),
+    }
+
+
+def bench_ns2d(t_f=40):
+    """NS-2D autoregressive rollout train step (ns_uno2d_main.py:26-107)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.models import build_model
+    from uno_tpu.optim import complex_adam, step_lr
+    from uno_tpu.train.ns2d import make_rollout
+    from uno_tpu.train.state import TrainState, apply_updates
+
+    BATCH, S = 16, 64
+    model = build_model("uno", in_width=14, width=32, pad=0)
+    rng = np.random.default_rng(0)
+    xx = jnp.asarray(rng.standard_normal((BATCH, S, S, 10)), jnp.float32)
+    yy = jnp.asarray(rng.standard_normal((BATCH, S, S, t_f)), jnp.float32)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), xx)
+    tx = complex_adam(
+        step_lr(1e-3, 100, 0.5, steps_per_epoch=250), weight_decay=1e-5
+    )
+    state = TrainState.create(params, tx)
+    rollout = make_rollout(model, t_f)
+
+    def loss_fn(p, xx, yy):
+        loss, _ = rollout(p, xx, yy)
+        return loss
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, xx, yy):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, xx, yy)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                params=apply_updates(state.params, updates),
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    for _ in range(WARMUP):
+        state, loss = train_step(state, xx, yy)
+    assert np.isfinite(float(loss)), loss
+    sec_per_step, state = _time_steps(train_step, state, [(xx, yy)], 20)
+    return {
+        "config": f"ns2d_uno_Tf{t_f}_bptt (ns_uno2d_main.py:26-107)",
+        "ms_per_step": round(sec_per_step * 1000, 2),
+        "samples_per_sec_per_chip": round(BATCH / sec_per_step, 2),
+        "model_evals_per_sec": round(BATCH * t_f / sec_per_step, 1),
+    }
+
+
+def bench_ns3d():
+    """NS-3D Uno3D_T40 spatiotemporal train step (ns_uno3d_main.py:33-123)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.losses import relative_lp_loss
+    from uno_tpu.models import build_model
+    from uno_tpu.optim import complex_adam, step_lr
+    from uno_tpu.train.state import TrainState, apply_updates
+
+    BATCH, S, T_IN, T_F = 16, 64, 10, 40
+    model = build_model("uno3d_t40", in_width=6, width=8, pad=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((BATCH, S, S, T_IN, 1)), jnp.float32
+    )
+    y = jnp.asarray(rng.standard_normal((BATCH, S, S, T_F)), jnp.float32)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = complex_adam(
+        step_lr(3e-3, 100, 0.5, steps_per_epoch=563), weight_decay=1e-5
+    )
+    state = TrainState.create(params, tx)
+
+    def loss_fn(p, x, y):
+        out = model.apply(p, x)
+        out = out.reshape(y.shape)
+        return relative_lp_loss(out, y, reduction="sum")
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                params=apply_updates(state.params, updates),
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    for _ in range(WARMUP):
         state, loss = train_step(state, x, y)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
     assert np.isfinite(float(loss)), loss
+    sec_per_step, state = _time_steps(train_step, state, [(x, y)], 20)
+    return {
+        "config": "ns3d_uno3d_t40 (ns_uno3d_main.py:33-123)",
+        "ms_per_step": round(sec_per_step * 1000, 2),
+        "samples_per_sec_per_chip": round(BATCH / sec_per_step, 2),
+    }
 
-    sps = BATCH * ITERS / dt
+
+def main(full: bool = False) -> None:
+    import jax
+
+    detail = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "configs": [],
+    }
+    def _record(cfg):
+        detail["configs"].append(cfg)
+        with open("bench_detail.json", "w") as f:
+            json.dump(detail, f, indent=1)
+
+    darcy = bench_darcy()
+    _record(darcy)
+    if full:
+        _record(bench_ns2d())
+        _record(bench_ns3d())
+
+    sps = darcy["samples_per_sec_per_chip"]
     print(
         json.dumps(
             {
                 "metric": "darcy_s211_uno9_train_samples_per_sec_per_chip",
-                "value": round(sps, 2),
+                "value": sps,
                 "unit": "samples/sec",
                 "vs_baseline": round(sps / A100_REF_SAMPLES_PER_SEC, 3),
             }
@@ -97,4 +287,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(full="--full" in sys.argv[1:])

@@ -137,3 +137,42 @@ def test_epoch_batches():
     batches = list(epoch_batches(rng, 10, 4))
     assert [len(b) for b in batches] == [4, 4, 2]
     assert sorted(np.concatenate(batches).tolist()) == list(range(10))
+
+
+def test_load_darcy_multi(tmp_path):
+    """Reference two-file pool+shuffle recipe (darcy_flow_main.py:37-93)."""
+    from uno_tpu.data import load_darcy_multi
+
+    g = 21
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"d{i}.mat")
+        scipy.io.savemat(
+            p,
+            {
+                "coeff": rng.standard_normal((10, g, g)),
+                "sol": rng.standard_normal((10, g, g)),
+            },
+        )
+        paths.append(p)
+    tr_a, tr_u, va, vu, te_a, te_u = load_darcy_multi(
+        paths, ntrain=12, nval=4, ntest=4, sub=2,
+        per_file_train=8, per_file_test=2, seed=0, grid_full=g,
+    )
+    s = (g - 1) // 2 + 1
+    assert tr_a.shape == (12, s, s, 1) and tr_u.shape == (12, s, s)
+    assert va.shape == (4, s, s, 1) and te_u.shape == (4, s, s)
+    # pooled coefficient/solution pairing survives the shuffle: every
+    # (a, u) row must come from the same source index of the same file
+    again = load_darcy_multi(
+        paths, ntrain=12, nval=4, ntest=4, sub=2,
+        per_file_train=8, per_file_test=2, seed=0, grid_full=g,
+    )
+    np.testing.assert_array_equal(tr_a, again[0])
+    np.testing.assert_array_equal(te_u, again[5])
+    other = load_darcy_multi(
+        paths, ntrain=12, nval=4, ntest=4, sub=2,
+        per_file_train=8, per_file_test=2, seed=1, grid_full=g,
+    )
+    assert not np.array_equal(tr_a, other[0])

@@ -23,8 +23,17 @@ import numpy as np
 
 def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", required=True)
-    p.add_argument("--data", default=None, help=".mat file path")
+    p.add_argument(
+        "--data", default=None, nargs="+",
+        help=".mat file path(s); multiple Darcy files are pooled and "
+             "shuffled into ntrain/nval/ntest as in darcy_flow_main.py:37-93",
+    )
     p.add_argument("--generate", action="store_true", help="synthesize data in JAX")
+    p.add_argument(
+        "--data-cache", default=None,
+        help="npz path: generated data is saved here once and reloaded on "
+             "subsequent (e.g. resumed) runs instead of being regenerated",
+    )
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
@@ -123,6 +132,22 @@ def _gen_ns(preset, seed=0, T=None, visc=1e-3, delta_t=1e-3):
     return (a[:i1], u[:i1], a[i1:i2], u[i1:i2], a[i2:], u[i2:])
 
 
+_SPLIT_KEYS = ("train_a", "train_u", "val_a", "val_u", "test_a", "test_u")
+
+
+def _cached(path, gen_fn):
+    """Load the 6-array split from ``path`` if present, else generate+save."""
+    import os
+
+    if path and os.path.exists(path):
+        z = np.load(path)
+        return tuple(z[k] for k in _SPLIT_KEYS)
+    data = gen_fn()
+    if path:
+        np.savez(path, **dict(zip(_SPLIT_KEYS, data)))
+    return data
+
+
 def cmd_train(args) -> int:
     import jax
 
@@ -142,24 +167,38 @@ def cmd_train(args) -> int:
     try:
         if preset.task == "darcy":
             if args.generate or not args.data:
-                data = _gen_darcy(preset, seed=preset.train.seed)
+                data = _cached(
+                    args.data_cache,
+                    lambda: _gen_darcy(preset, seed=preset.train.seed),
+                )
+            elif len(args.data) > 1:
+                from uno_tpu.data import load_darcy_multi
+
+                data = load_darcy_multi(
+                    args.data, preset.ntrain, preset.nval, preset.ntest,
+                    sub=preset.sub, seed=preset.train.seed,
+                )
             else:
                 from uno_tpu.data import load_darcy
 
                 xt, yt, xs_, ys_ = load_darcy(
-                    preset.sub, preset.ntrain + preset.nval, preset.ntest, args.data
+                    preset.sub, preset.ntrain + preset.nval, preset.ntest,
+                    args.data[0],
                 )
                 i1 = preset.ntrain
                 data = (xt[:i1], yt[:i1], xt[i1:], yt[i1:], xs_, ys_)
             out = train_darcy(model, *data, preset.train, mesh=mesh, logger=logger)
         elif preset.task == "ns2d":
             if args.generate or not args.data:
-                data = _gen_ns(preset, seed=preset.train.seed)
+                data = _cached(
+                    args.data_cache,
+                    lambda: _gen_ns(preset, seed=preset.train.seed),
+                )
             else:
                 from uno_tpu.data import load_navier_stokes
 
                 ta, tu, sa, su = load_navier_stokes(
-                    args.data,
+                    args.data[0],
                     train=preset.ntrain + preset.nval,
                     test=preset.ntest,
                     sample_num=preset.ntrain + preset.nval + preset.ntest,
@@ -174,12 +213,15 @@ def cmd_train(args) -> int:
             )
         elif preset.task == "ns3d":
             if args.generate or not args.data:
-                data = _gen_ns(preset, seed=preset.train.seed)
+                data = _cached(
+                    args.data_cache,
+                    lambda: _gen_ns(preset, seed=preset.train.seed),
+                )
             else:
                 from uno_tpu.data import load_navier_stokes
 
                 ta, tu, sa, su = load_navier_stokes(
-                    args.data,
+                    args.data[0],
                     train=preset.ntrain + preset.nval,
                     test=preset.ntest,
                     sample_num=preset.ntrain + preset.nval + preset.ntest,

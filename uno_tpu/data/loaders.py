@@ -40,6 +40,62 @@ def load_darcy(
     )
 
 
+def load_darcy_multi(
+    paths,
+    ntrain: int,
+    nval: int,
+    ntest: int,
+    sub: int = 2,
+    per_file_train: int = None,
+    per_file_test: int = None,
+    seed: int = 0,
+    grid_full: int = 421,
+) -> Tuple[np.ndarray, ...]:
+    """Reference multi-file Darcy recipe (darcy_flow_main.py:37-93): load
+    ``per_file_train + per_file_test`` samples from each file (train block
+    first, test block from the end), concatenate all train blocks then all
+    test blocks, shuffle the pooled indices, split ntrain/nval/ntest.
+
+    ``per_file_train/test`` default to the reference's 4:1 ratio (800/200)
+    scaled to each file's actual sample count.  The reference shuffles with
+    ``random.shuffle`` (unseeded); here the permutation is a seeded
+    ``default_rng`` so splits are reproducible.
+
+    Returns (train_a, train_u, val_a, val_u, test_a, test_u) with ``a`` of
+    shape (n, s, s, 1) and ``u`` of (n, s, s).
+    """
+    tr_a, tr_u, te_a, te_u = [], [], [], []
+    for p in paths:
+        if per_file_train is None or per_file_test is None:
+            n_file = MatReader(p).read_field("coeff").shape[0]
+            n_tr = per_file_train or n_file * 4 // 5
+            n_te = per_file_test or n_file - n_file * 4 // 5
+        else:
+            n_tr, n_te = per_file_train, per_file_test
+        xa, ya, xb, yb = load_darcy(sub, n_tr, n_te, p, grid_full=grid_full)
+        tr_a.append(xa)
+        tr_u.append(ya)
+        te_a.append(xb)
+        te_u.append(yb)
+    a = np.concatenate(tr_a + te_a)
+    u = np.concatenate(tr_u + te_u)
+    n = a.shape[0]
+    if ntrain + nval + ntest > n:
+        raise ValueError(
+            f"split {ntrain}+{nval}+{ntest} exceeds pooled samples {n}"
+        )
+    idx = np.random.default_rng(seed).permutation(n)
+    i1, i2, i3 = ntrain, ntrain + nval, ntrain + nval + ntest
+    return (
+        a[idx[:i1]],
+        u[idx[:i1]],
+        a[idx[i1:i2]],
+        u[idx[i1:i2]],
+        a[idx[i2:i3]],
+        u[idx[i2:i3]],
+    )
+
+
 def _bilinear_resize_hw(x: np.ndarray, size: int) -> np.ndarray:
     """(N, H, W, T) -> (N, size, size, T), bilinear align_corners=True."""
     h, w = x.shape[1], x.shape[2]
