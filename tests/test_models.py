@@ -93,3 +93,77 @@ def test_discretization_invariance_zero_shot_superres():
     b = np.asarray(y128)[0, ::2, ::2, 0]
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+@pytest.mark.slow
+def test_darcy_s421_full_shape_train_step():
+    """The darcy_s421 preset's full-shape path: UNO_11 (the model the
+    reference could not run) at 421^2 with the driver width, one full
+    fwd+bwd+Adam step, finite decreasing-capable loss (VERDICT #3)."""
+    from uno_tpu.losses import relative_lp_loss
+    from uno_tpu.optim import complex_adam
+    from uno_tpu.train.state import TrainState, apply_updates
+
+    model = build_model("uno11", in_width=3, width=32, pad=12)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 421, 421, 1)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 421, 421)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = complex_adam(1e-3, weight_decay=1e-3)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(p, x, y):
+        out = model.apply(p, x).reshape(1, 421, 421)
+        return relative_lp_loss(out, y, reduction="sum")
+
+    @jax.jit
+    def step(state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                params=apply_updates(state.params, updates),
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    state, l0 = step(state, x, y)
+    assert np.isfinite(float(l0)), l0
+
+
+@pytest.mark.slow
+def test_ns2d_s256_full_shape_rollout_step():
+    """The ns2d_s256 preset's full-shape path: UNO_S256 at 256^2, a 2-step
+    BPTT rollout train step at the driver width (VERDICT #3)."""
+    from uno_tpu.optim import complex_adam
+    from uno_tpu.train.ns2d import make_rollout
+    from uno_tpu.train.state import TrainState, apply_updates
+
+    model = build_model("uno_s256", in_width=14, width=32, pad=0)
+    rng = np.random.default_rng(1)
+    xx = jnp.asarray(rng.standard_normal((1, 256, 256, 10)), jnp.float32)
+    yy = jnp.asarray(rng.standard_normal((1, 256, 256, 2)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), xx)
+    tx = complex_adam(1e-3, weight_decay=1e-5)
+    state = TrainState.create(params, tx)
+    rollout = make_rollout(model, 2)
+
+    @jax.jit
+    def step(state, xx, yy):
+        loss, grads = jax.value_and_grad(
+            lambda p: rollout(p, xx, yy)[0]
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                params=apply_updates(state.params, updates),
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    state, l0 = step(state, xx, yy)
+    assert np.isfinite(float(l0)), l0

@@ -43,10 +43,23 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ntest", type=int, default=None)
     p.add_argument("--size", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="epochs between full-state checkpoints (with "
+                        "--checkpoint-dir); best-val params always saved")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard the leading grid axis over this many devices "
+                        "(domain decomposition; combined with --data-parallel "
+                        "the mesh is data x spatial)")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. 'cpu'); needed on "
+                        "runtimes whose sitecustomize pins a backend")
+    p.add_argument("--cpu-devices", type=int, default=None,
+                   help="with --platform cpu: number of virtual devices "
+                        "(for testing data-parallel/spatial meshes)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first epochs")
     p.add_argument("--tensorboard", default=None)
@@ -60,7 +73,7 @@ def _build_cfg(preset, args):
             over[k] = v
     if args.checkpoint_dir:
         over["checkpoint_dir"] = args.checkpoint_dir
-        over["checkpoint_every"] = 1
+        over["checkpoint_every"] = args.checkpoint_every
     if args.resume:
         over["resume"] = True
     if args.tensorboard:
@@ -153,12 +166,28 @@ def cmd_train(args) -> int:
 
     from uno_tpu.configs.presets import get_preset
     from uno_tpu.models import build_model
-    from uno_tpu.parallel import make_mesh
+    from uno_tpu.parallel import initialize_from_env, make_mesh
     from uno_tpu.train import MetricLogger, train_darcy, train_ns2d, train_ns3d
 
+    if args.platform:
+        # must run before any backend use; env vars are too late when a
+        # sitecustomize already pinned a platform (CLAUDE.md)
+        jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    # multi-host: wire jax.distributed when the env asks for it (no-op
+    # single-host); must happen before any backend/mesh use
+    initialize_from_env()
     preset = _build_cfg(get_preset(args.preset), args)
     model = build_model(preset.model, **preset.model_kwargs)
-    mesh = make_mesh() if args.data_parallel else None
+    mesh = (
+        make_mesh(
+            n_data=None if args.data_parallel else 1,
+            n_spatial=args.spatial,
+        )
+        if (args.data_parallel or args.spatial > 1)
+        else None
+    )
     logger = MetricLogger(tensorboard_dir=preset.train.log_tensorboard)
 
     if args.profile_dir:

@@ -29,7 +29,6 @@ TPU-first design notes (not a translation of the torch code):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -190,7 +189,7 @@ def _complex_mode_matmul(x_ft: Array, w: Array) -> Array:
     return out
 
 
-def _zeros_c(shape) -> partial:
+def _zeros_c(shape) -> Array:
     return jnp.zeros(shape, jnp.complex64)
 
 

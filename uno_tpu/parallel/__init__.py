@@ -1,3 +1,8 @@
+from uno_tpu.parallel.distributed import (
+    initialize_from_env,
+    is_multiprocess,
+    process_local_batch,
+)
 from uno_tpu.parallel.mesh import (
     batch_sharding,
     batch_spatial_sharding,
@@ -9,6 +14,9 @@ from uno_tpu.parallel.mesh import (
 
 __all__ = [
     "batch_sharding",
+    "initialize_from_env",
+    "is_multiprocess",
+    "process_local_batch",
     "batch_spatial_sharding",
     "make_mesh",
     "replicate",

@@ -32,7 +32,11 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_spatial
-    assert n_data * n_spatial <= len(devices), (n_data, n_spatial, len(devices))
+    if n_data < 1 or n_data * n_spatial > len(devices):
+        raise ValueError(
+            f"mesh {n_data} data x {n_spatial} spatial needs "
+            f"{max(n_data, 1) * n_spatial} devices, have {len(devices)}"
+        )
     arr = np.asarray(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
     return Mesh(arr, ("data", "spatial"))
 

@@ -34,17 +34,14 @@ class TrainConfig:
     log_tensorboard: Optional[str] = None
 
 
-def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, with_schedule=False):
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     eff_sched_epochs = cfg.scheduler_step * (
         2 if cfg.compat_even_epoch_scheduler else 1
     )
     schedule = step_lr(
         cfg.learning_rate, eff_sched_epochs, cfg.scheduler_gamma, steps_per_epoch
     )
-    tx = complex_adam(schedule, weight_decay=cfg.weight_decay)
-    if with_schedule:
-        return tx, schedule
-    return tx
+    return complex_adam(schedule, weight_decay=cfg.weight_decay)
 
 
 def lr_at(cfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
@@ -66,25 +63,52 @@ class DataPlacer:
 
     def __init__(self, mesh, *arrays):
         self.mesh = mesh
+        self.spatial_constraint = None
         if mesh is None:
             self.arrays = tuple(jnp.asarray(a) for a in arrays)
         else:
-            from uno_tpu.parallel.mesh import batch_sharding
+            from uno_tpu.parallel.mesh import (
+                batch_sharding,
+                batch_spatial_sharding,
+            )
 
             self.arrays = tuple(np.asarray(a) for a in arrays)
             self._sharding = batch_sharding(mesh)
+            # When the mesh has a non-trivial 'spatial' axis (domain
+            # decomposition for 421^2 / 256^2 grids), the grid axis is
+            # sharded via an in-jit constraint — device_put demands exact
+            # divisibility, while GSPMD pads uneven grid sizes internally.
+            self.spatial_constraint = (
+                batch_spatial_sharding(mesh)
+                if mesh.shape.get("spatial", 1) > 1
+                else None
+            )
 
     def batch(self, i, idx):
         a = self.arrays[i][idx]
         if self.mesh is None:
             return a
-        return jax.device_put(a, self._sharding)
+        from uno_tpu.parallel.distributed import process_local_batch
 
-    def n_drop(self, batch_size: int) -> int:
-        """Largest per-batch size multiple constraint (mesh data axis)."""
-        if self.mesh is None:
-            return 1
-        return self.mesh.shape.get("data", 1)
+        return process_local_batch(self._sharding, a)
+
+    def batches(self, ix, iy, idx_iter, prefetch: int = 1):
+        """Yield placed (x, y) batches with ``prefetch`` batches in flight.
+
+        ``device_put`` is asynchronous, so enqueueing the next batch before
+        the current step finishes overlaps the h2d copy with compute — the
+        mesh path otherwise pays a per-step host transfer (round-1 weak #7).
+        """
+        from collections import deque
+
+        q = deque()
+        for idx in idx_iter:
+            q.append((self.batch(ix, idx), self.batch(iy, idx), idx))
+            if len(q) > prefetch:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
 
 
 class BestTracker:

@@ -66,6 +66,10 @@ def train_darcy(
     drop = cfg.drop_remainder or (mesh is not None)
 
     def loss_fn(params, x, y):
+        if data.spatial_constraint is not None:
+            # shard the leading grid axis over 'spatial' (uneven sizes are
+            # padded by GSPMD; a device_put sharding would reject them)
+            x = jax.lax.with_sharding_constraint(x, data.spatial_constraint)
         out = model.apply(params, x).reshape(y.shape[0], s, s)
         return relative_lp_loss(out, y, reduction="sum")
 
@@ -95,12 +99,11 @@ def train_darcy(
     def _eval(params, ix, iy, n) -> float:
         total = 0.0
         count = 0
-        for idx in epoch_batches(
-            rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop
+        for xb, yb, idx in data.batches(
+            ix, iy,
+            epoch_batches(rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop),
         ):
-            total += float(
-                eval_loss(params, data.batch(ix, idx), data.batch(iy, idx))
-            )
+            total += float(eval_loss(params, xb, yb))
             count += len(idx)
         return total / max(count, 1)
 
@@ -108,10 +111,10 @@ def train_darcy(
         t0 = time.perf_counter()
         train_l2 = 0.0
         seen = 0
-        for idx in epoch_batches(
-            rng, ntrain, cfg.batch_size, drop_remainder=drop
+        for xb, yb, idx in data.batches(
+            0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
         ):
-            state, loss = train_step(state, data.batch(0, idx), data.batch(1, idx))
+            state, loss = train_step(state, xb, yb)
             train_l2 += float(loss)
             seen += len(idx)
         train_l2 /= max(seen, 1)

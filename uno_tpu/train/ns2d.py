@@ -98,6 +98,8 @@ def train_ns2d(
     rollout = make_rollout(model, t_f)
 
     def loss_fn(params, xx, yy):
+        if data.spatial_constraint is not None:
+            xx = jax.lax.with_sharding_constraint(xx, data.spatial_constraint)
         loss, _ = rollout(params, xx, yy)
         return loss
 
@@ -130,10 +132,11 @@ def train_ns2d(
 
     def _eval(params, ix, iy, n):
         step_total, traj_total, count = 0.0, 0.0, 0
-        for idx in epoch_batches(
-            rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop
+        for xb, yb, idx in data.batches(
+            ix, iy,
+            epoch_batches(rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop),
         ):
-            l, t = eval_step(params, data.batch(ix, idx), data.batch(iy, idx))
+            l, t = eval_step(params, xb, yb)
             step_total += float(l)
             traj_total += float(t)
             count += len(idx)
@@ -144,10 +147,10 @@ def train_ns2d(
         t0 = time.perf_counter()
         train_loss = 0.0
         seen = 0
-        for idx in epoch_batches(
-            rng, ntrain, cfg.batch_size, drop_remainder=drop
+        for xb, yb, idx in data.batches(
+            0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
         ):
-            state, loss = train_step(state, data.batch(0, idx), data.batch(1, idx))
+            state, loss = train_step(state, xb, yb)
             train_loss += float(loss)
             seen += len(idx)
         train_loss = train_loss / max(seen, 1) / t_f

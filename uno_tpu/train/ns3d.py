@@ -67,6 +67,10 @@ def train_ns3d(
     def forward(params, x):
         b = x.shape[0]
         s = x.shape[1]
+        if data.spatial_constraint is not None:
+            # shard the leading grid axis over 'spatial' (GSPMD pads uneven
+            # sizes; a device_put sharding would reject them)
+            x = jax.lax.with_sharding_constraint(x, data.spatial_constraint)
         return model.apply(params, x[..., None]).reshape(b, s, s, t_f)
 
     def loss_fn(params, x, y):
@@ -114,10 +118,11 @@ def train_ns3d(
 
     def _eval(params, ix, iy, n):
         full_total, step_total, count = 0.0, 0.0, 0
-        for idx in epoch_batches(
-            rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop
+        for xb, yb, idx in data.batches(
+            ix, iy,
+            epoch_batches(rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop),
         ):
-            f, sl = eval_step(params, data.batch(ix, idx), data.batch(iy, idx))
+            f, sl = eval_step(params, xb, yb)
             full_total += float(f)
             step_total += float(sl)
             count += len(idx)
@@ -128,12 +133,10 @@ def train_ns3d(
         t0 = time.perf_counter()
         train_step_l2 = 0.0
         seen = 0
-        for idx in epoch_batches(
-            rng, ntrain, cfg.batch_size, drop_remainder=drop
+        for xb, yb, idx in data.batches(
+            0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
         ):
-            state, loss, step_loss = train_step(
-                state, data.batch(0, idx), data.batch(1, idx)
-            )
+            state, loss, step_loss = train_step(state, xb, yb)
             train_step_l2 += float(step_loss)
             seen += len(idx)
         train_step_l2 /= max(seen, 1) * t_f
