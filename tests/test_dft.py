@@ -121,3 +121,23 @@ def test_dft_model_forward_matches_fft_path():
         jnp.linalg.norm(y_fft - y_dft) / (jnp.linalg.norm(y_fft) + 1e-12)
     )
     assert err < 1e-5, err
+
+
+@pytest.mark.parametrize(
+    "shape,out",
+    [
+        ((8, 8, 10), (8, 8, 10)),
+        ((12, 12, 10), (8, 8, 16)),   # spatial truncation + time pad
+        ((8, 8, 10), (12, 12, 8)),    # spatial pad (sx < d1 quirk path)
+        ((9, 7, 11), (7, 9, 9)),      # odd everything
+    ],
+)
+def test_dft_fourier_truncate_3d_matches_fft_path(dft_mode, shape, out):
+    from uno_tpu.ops.spectral import fourier_truncate_3d, set_dft_mode
+
+    x = jnp.asarray(RNG.standard_normal((2, 3, *shape)), jnp.float32)
+    set_dft_mode(False)
+    want = np.asarray(fourier_truncate_3d(x, out))
+    set_dft_mode(True)
+    got = np.asarray(fourier_truncate_3d(x, out))
+    np.testing.assert_allclose(got, want, atol=2e-5)

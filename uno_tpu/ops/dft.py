@@ -35,31 +35,37 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 @lru_cache(maxsize=None)
-def _fwd_mats(n: int, idx: Tuple[int, ...]):
-    """(cos, sin) of shape (len(idx), n): X[k] = sum_j x[j] e^{-2 pi i k j / n} / n."""
+def _fwd_mats(n: int, idx: Tuple[int, ...], scaled: bool = True):
+    """(cos, sin) of shape (len(idx), n): X[k] = sum_j x[j] e^{-2 pi i k j / n},
+    divided by n when ``scaled`` (norm="forward" convention)."""
     k = np.asarray(idx, np.float64)[:, None]
     j = np.arange(n, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * k * j / n
+    s = n if scaled else 1.0
     return (
-        (np.cos(ang) / n).astype(np.float32),
-        (np.sin(ang) / n).astype(np.float32),
+        (np.cos(ang) / s).astype(np.float32),
+        (np.sin(ang) / s).astype(np.float32),
     )
 
 
 @lru_cache(maxsize=None)
-def _inv_full_mats(n: int, idx: Tuple[int, ...]):
+def _inv_full_mats(n: int, idx: Tuple[int, ...], scaled: bool = False):
     """(cos, sin) of shape (len(idx), n): x[p] = sum_k X[k] e^{+2 pi i k p / n}.
 
-    Unscaled inverse (norm="forward"); frequencies outside ``idx`` are zero.
+    Unscaled by default (norm="forward"); ``scaled`` divides by n (the
+    default/backward norm).  Frequencies outside ``idx`` are zero.
     """
     k = np.asarray(idx, np.float64)[:, None]
     p = np.arange(n, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * k * p / n
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    s = n if scaled else 1.0
+    return (np.cos(ang) / s).astype(np.float32), (
+        np.sin(ang) / s
+    ).astype(np.float32)
 
 
 @lru_cache(maxsize=None)
-def _inv_rfft_mats(m: int, n_out: int):
+def _inv_rfft_mats(m: int, n_out: int, scaled: bool = False):
     """(cos, sin) of shape (m, n_out) reproducing ``irfft`` from ``m`` leading
     half-spectrum bins: interior bins doubled, DC/Nyquist counted once with
     imaginary part dropped (sin row is identically zero there)."""
@@ -70,6 +76,8 @@ def _inv_rfft_mats(m: int, n_out: int):
     w[0, 0] = 1.0
     if n_out % 2 == 0 and m - 1 == n_out // 2:
         w[-1, 0] = 1.0
+    if scaled:
+        w /= n_out
     return (w * np.cos(ang)).astype(np.float32), (w * np.sin(ang)).astype(
         np.float32
     )
@@ -95,18 +103,19 @@ def _apply(x: Array, mat: np.ndarray, axis: int) -> Array:
 
 
 def fwd_partial_real(
-    x: Array, axis: int, n: int, idx: Sequence[int]
+    x: Array, axis: int, n: int, idx: Sequence[int], scaled: bool = True
 ) -> Tuple[Array, Array]:
     """Forward partial DFT of a real array along ``axis`` at bins ``idx``."""
-    c, s = _fwd_mats(n, tuple(idx))
+    c, s = _fwd_mats(n, tuple(idx), scaled)
     return _apply(x, c, axis), -_apply(x, s, axis)
 
 
 def fwd_partial_complex(
-    xr: Array, xi: Array, axis: int, n: int, idx: Sequence[int]
+    xr: Array, xi: Array, axis: int, n: int, idx: Sequence[int],
+    scaled: bool = True,
 ) -> Tuple[Array, Array]:
     """Forward partial DFT of a complex array given as (re, im) planes."""
-    c, s = _fwd_mats(n, tuple(idx))
+    c, s = _fwd_mats(n, tuple(idx), scaled)
     # (xr + i xi)(cos - i sin): re = xr c + xi s, im = xi c - xr s
     return (
         _apply(xr, c, axis) + _apply(xi, s, axis),
@@ -115,10 +124,12 @@ def fwd_partial_complex(
 
 
 def inv_full(
-    yr: Array, yi: Array, axis: int, n: int, idx: Sequence[int]
+    yr: Array, yi: Array, axis: int, n: int, idx: Sequence[int],
+    scaled: bool = False,
 ) -> Tuple[Array, Array]:
-    """Unscaled full inverse DFT from bins ``idx`` (all others zero)."""
-    c, s = _inv_full_mats(n, tuple(idx))
+    """Full inverse DFT from bins ``idx`` (all others zero); ``scaled``
+    divides by n (default/backward norm)."""
+    c, s = _inv_full_mats(n, tuple(idx), scaled)
     c, s = c.T, s.T  # (n, K): _apply contracts the K-length axis
     # (yr + i yi)(cos + i sin): re = yr c - yi s, im = yr s + yi c
     return (
@@ -127,11 +138,13 @@ def inv_full(
     )
 
 
-def inv_rfft(yr: Array, yi: Array, axis: int, n_out: int) -> Array:
+def inv_rfft(
+    yr: Array, yi: Array, axis: int, n_out: int, scaled: bool = False
+) -> Array:
     """Real inverse from the ``m`` leading half-spectrum bins along ``axis``
-    (zero padding to n_out//2+1 implicit), matching ``irfft(..., n=n_out,
-    norm="forward")``."""
+    (zero padding to n_out//2+1 implicit), matching ``irfft(..., n=n_out)``
+    with norm="forward" (default) or the backward norm (``scaled``)."""
     m = yr.shape[axis]
-    c, s = _inv_rfft_mats(m, n_out)
+    c, s = _inv_rfft_mats(m, n_out, scaled)
     c, s = c.T, s.T  # (n_out, m): _apply contracts the m-length axis
     return _apply(yr, c, axis) - _apply(yi, s, axis)

@@ -384,6 +384,32 @@ def fourier_truncate_3d(x: Array, out_size: Tuple[int, int, int]) -> Array:
     d1, d2, d3 = out_size
     m1, m2, m3 = d1 // 2, d2 // 2, d3 // 2
     sx, sy = x.shape[-3], x.shape[-2]
+
+    if _dft_enabled():
+        from uno_tpu.ops import dft
+
+        t_full = x.shape[-1]
+        st_ = t_full // 2 + 1
+        # kept bins at their ORIGINAL indices, filtered by the irfftn
+        # trailing-trim to the output length (mask semantics above;
+        # negative-frequency bins are NOT relocated when sx < d1 — the
+        # reference's backward-norm quirk, preserved)
+        kx = tuple(
+            k for k in range(sx) if (k < m1 or k >= sx - m1) and k < d1
+        )
+        ky = tuple(
+            k for k in range(sy) if (k < m2 or k >= sy - m2) and k < d2
+        )
+        kt = tuple(range(min(m3, st_, d3 // 2 + 1)))
+        xr, xi = dft.fwd_partial_real(
+            x.astype(jnp.float32), -1, t_full, kt, scaled=False
+        )
+        xr, xi = dft.fwd_partial_complex(xr, xi, -3, sx, kx, scaled=False)
+        xr, xi = dft.fwd_partial_complex(xr, xi, -2, sy, ky, scaled=False)
+        yr, yi = dft.inv_full(xr, xi, -3, d1, kx, scaled=True)
+        yr, yi = dft.inv_full(yr, yi, -2, d2, ky, scaled=True)
+        return dft.inv_rfft(yr, yi, -1, d3, scaled=True)
+
     ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(-3, -2, -1))
     st = ft.shape[-1]
 
