@@ -34,6 +34,13 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
         help="npz path: generated data is saved here once and reloaded on "
              "subsequent (e.g. resumed) runs instead of being regenerated",
     )
+    p.add_argument("--gen-dt", type=float, default=None,
+                   help="NS generation solver step (default 1e-3 fast "
+                        "profile; the reference generator uses 1e-4, "
+                        "ns_datagen.py:144-223)")
+    p.add_argument("--gen-T", type=float, default=None,
+                   help="NS generation horizon in time units (default "
+                        "(t_in+t_f)*0.5; the reference uses 50)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
@@ -113,7 +120,18 @@ def _gen_darcy(preset, seed=0):
     return (a[:i1], p[:i1], a[i1:i2], p[i1:i2], a[i2:], p[i2:])
 
 
-def _gen_ns(preset, seed=0, T=None, visc=1e-3, delta_t=1e-3):
+def _gen_ns(preset, seed=0, T=None, visc=1e-3, delta_t=None):
+    """Generate NS trajectories for a preset's split.
+
+    Integration profile: the reference generator (ns_datagen.py:144-223)
+    uses ``delta_t=1e-4, T=50`` with 50 recorded snapshots (1.0 time units
+    between snapshots).  The default here is the **fast profile**
+    ``delta_t=1e-3, T=(t_in+t_f)*0.5`` (0.5 time units between snapshots) —
+    10x fewer solver steps; see examples/gen_profile_compare.py and
+    RESULTS.md for a measured spectrum/energy comparison of the two
+    profiles.  Pass ``--gen-dt 1e-4 --gen-T 50`` on the CLI for the exact
+    reference profile.
+    """
     import jax
 
     from uno_tpu.data import GaussianRF, default_forcing, navier_stokes_2d
@@ -132,8 +150,9 @@ def _gen_ns(preset, seed=0, T=None, visc=1e-3, delta_t=1e-3):
         k = min(bs, n - done)
         w0 = grf.sample(sub, k)
         sol, _ = navier_stokes_2d(
-            w0, f, visc=visc, T=T or (total_steps * 0.5),
-            delta_t=delta_t, record_steps=total_steps,
+            w0, f, visc=visc, T=T if T is not None else (total_steps * 0.5),
+            delta_t=delta_t if delta_t is not None else 1e-3,
+            record_steps=total_steps,
         )
         sol = np.asarray(sol)
         a_list.append(sol[..., : preset.t_in])
@@ -148,17 +167,55 @@ def _gen_ns(preset, seed=0, T=None, visc=1e-3, delta_t=1e-3):
 _SPLIT_KEYS = ("train_a", "train_u", "val_a", "val_u", "test_a", "test_u")
 
 
-def _cached(path, gen_fn):
-    """Load the 6-array split from ``path`` if present, else generate+save."""
+def _cached(path, gen_fn, sig=None):
+    """Load the 6-array split from ``path`` if present, else generate+save.
+
+    ``sig`` is the generating configuration (preset/split/physics) baked
+    into the npz; a cache whose signature differs from the current config
+    raises instead of silently overriding the preset (ADVICE r2).  Caches
+    written before signatures existed load with a warning.
+    """
     import os
 
     if path and os.path.exists(path):
         z = np.load(path)
+        if sig is not None:
+            stored = str(z["config_sig"]) if "config_sig" in z else None
+            if stored is None:
+                print(
+                    f"warning: data cache {path} predates config signatures; "
+                    f"assuming it matches {sig!r}"
+                )
+            elif stored != sig:
+                raise SystemExit(
+                    f"data cache {path} was generated with a different "
+                    f"config:\n  cache:   {stored}\n  current: {sig}\n"
+                    "delete the cache or point --data-cache elsewhere"
+                )
         return tuple(z[k] for k in _SPLIT_KEYS)
     data = gen_fn()
     if path:
-        np.savez(path, **dict(zip(_SPLIT_KEYS, data)))
+        extra = {"config_sig": np.asarray(sig)} if sig is not None else {}
+        np.savez(path, **dict(zip(_SPLIT_KEYS, data)), **extra)
     return data
+
+
+def _gen_sig(preset, args) -> str:
+    """Configuration signature for the generated-data cache."""
+    parts = [
+        f"task={preset.task}", f"size={preset.size}",
+        f"ntrain={preset.ntrain}", f"nval={preset.nval}",
+        f"ntest={preset.ntest}", f"seed={preset.train.seed}",
+    ]
+    if preset.task in ("ns2d", "ns3d"):
+        total = preset.t_in + preset.t_f
+        dt = args.gen_dt if args.gen_dt is not None else 1e-3
+        T = args.gen_T if args.gen_T is not None else total * 0.5
+        parts += [
+            f"t_in={preset.t_in}", f"t_f={preset.t_f}",
+            f"dt={dt:g}", f"T={T:g}",
+        ]
+    return ",".join(parts)
 
 
 def cmd_train(args) -> int:
@@ -199,6 +256,7 @@ def cmd_train(args) -> int:
                 data = _cached(
                     args.data_cache,
                     lambda: _gen_darcy(preset, seed=preset.train.seed),
+                    sig=_gen_sig(preset, args),
                 )
             elif len(args.data) > 1:
                 from uno_tpu.data import load_darcy_multi
@@ -221,7 +279,11 @@ def cmd_train(args) -> int:
             if args.generate or not args.data:
                 data = _cached(
                     args.data_cache,
-                    lambda: _gen_ns(preset, seed=preset.train.seed),
+                    lambda: _gen_ns(
+                        preset, seed=preset.train.seed,
+                        T=args.gen_T, delta_t=args.gen_dt,
+                    ),
+                    sig=_gen_sig(preset, args),
                 )
             else:
                 from uno_tpu.data import load_navier_stokes
@@ -244,7 +306,11 @@ def cmd_train(args) -> int:
             if args.generate or not args.data:
                 data = _cached(
                     args.data_cache,
-                    lambda: _gen_ns(preset, seed=preset.train.seed),
+                    lambda: _gen_ns(
+                        preset, seed=preset.train.seed,
+                        T=args.gen_T, delta_t=args.gen_dt,
+                    ),
+                    sig=_gen_sig(preset, args),
                 )
             else:
                 from uno_tpu.data import load_navier_stokes

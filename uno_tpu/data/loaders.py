@@ -68,8 +68,16 @@ def load_darcy_multi(
     for p in paths:
         if per_file_train is None or per_file_test is None:
             n_file = MatReader(p).read_field("coeff").shape[0]
-            n_tr = per_file_train or n_file * 4 // 5
-            n_te = per_file_test or n_file - n_file * 4 // 5
+            n_tr = (
+                per_file_train
+                if per_file_train is not None
+                else n_file * 4 // 5
+            )
+            n_te = (
+                per_file_test
+                if per_file_test is not None
+                else n_file - n_file * 4 // 5
+            )
         else:
             n_tr, n_te = per_file_train, per_file_test
         xa, ya, xb, yb = load_darcy(sub, n_tr, n_te, p, grid_full=grid_full)

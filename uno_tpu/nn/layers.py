@@ -138,26 +138,83 @@ class PointwiseOp(nn.Module):
         bias = self.param(
             "bias", _torch_bias_init(self.in_codim), (self.out_codim,)
         )
-        # channels-first 1x1 conv == tensordot over the channel axis.
-        y = jax.lax.dot_general(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        y = jnp.moveaxis(y, -1, 1)
-        y = y + bias.reshape((1, -1) + (1,) * self.ndim)
-
+        in_grid = x.shape[2:]
         axes = tuple(range(2, 2 + self.ndim))
-        if self.ndim == 1:
-            return resize(y, out_size, axes, "linear", True, True)
-        if self.ndim == 2:
-            return resize(y, out_size, axes, "cubic", True, True)
-        y = fourier_truncate_3d(y, tuple(out_size))
-        # reference then trilinear-resizes; sizes already match after the
-        # truncation's irfftn, so this is the identity — kept for parity
-        # with integral_operators.py:465-467.
-        return resize(y, out_size, axes, "linear", True, False)
+
+        def conv(z):
+            if self.dtype == jnp.float32:
+                # channel mixing with the output layout chosen by XLA (a
+                # dot_general + moveaxis forced a full-activation transpose
+                # copy per block — profiled round 3)
+                return jnp.einsum(
+                    "bi...,io->bo...",
+                    z,
+                    kernel,
+                    preferred_element_type=jnp.float32,
+                )
+            # bf16 policy: batched bf16->f32 einsums are unsupported by the
+            # CPU DotThunk; the plain dot + moveaxis form works everywhere
+            y = jax.lax.dot_general(
+                z.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.moveaxis(y, -1, 1).astype(self.dtype)
+
+        def do_resize(z):
+            if self.ndim == 1:
+                return resize(z, out_size, axes, "linear", True, True)
+            if self.ndim == 2:
+                return resize(z, out_size, axes, "cubic", True, True)
+            z = fourier_truncate_3d(z, tuple(out_size))
+            # reference then trilinear-resizes; sizes already match after
+            # the truncation's irfftn, so this is the identity — kept for
+            # parity with integral_operators.py:465-467.
+            return resize(z, out_size, axes, "linear", True, False)
+
+        def resize_flops(ch: int) -> float:
+            dims = list(in_grid)
+            fl = 0.0
+            for i, n_out in enumerate(out_size):
+                if dims[i] != n_out:
+                    others = 1
+                    for j, d in enumerate(dims):
+                        if j != i:
+                            others *= d
+                    fl += ch * n_out * dims[i] * others
+                    dims[i] = n_out
+            return fl
+
+        # Channel mixing and spatial resampling are both linear maps on
+        # disjoint axes, so they commute.  Apply the channel matmul on
+        # whichever side is cheaper — encoder blocks downsample (resize
+        # first, conv at the small grid), decoder blocks upsample (conv
+        # first) — instead of the reference's fixed conv-then-interpolate
+        # order (integral_operators.py:232-242).  The 1D/2D resample
+        # matrices are constant-preserving so the bias moves to the end
+        # exactly; the 3D Fourier truncation's backward norm scales
+        # constants by N_in/N_out (rfftn unnormalised, irfftn divides by
+        # the OUTPUT size), so the bias picks up exactly that DC gain.
+        n_in = 1
+        for d in in_grid:
+            n_in *= d
+        n_out = 1
+        for d in out_size:
+            n_out *= d
+        conv_first = n_in * self.in_codim * self.out_codim + resize_flops(
+            self.out_codim
+        )
+        resize_first = resize_flops(self.in_codim) + (
+            n_out * self.in_codim * self.out_codim
+        )
+        bias_gain = (n_in / n_out) if self.ndim == 3 else 1.0
+        if resize_first < conv_first:
+            y = conv(do_resize(x))
+        else:
+            y = do_resize(conv(x))
+        b = (bias * bias_gain).astype(y.dtype)
+        return y + b.reshape((1, -1) + (1,) * self.ndim)
 
 
 class OperatorBlock(nn.Module):

@@ -1,4 +1,4 @@
-"""Partial DFT transforms as MXU matmuls — the TPU-first spectral path.
+"""Partial DFT transforms as single MXU matmuls — the TPU-first spectral path.
 
 The U-NO spectral conv keeps only ``m`` low-frequency modes of an ``S``-point
 transform (reference ``integral_operators.py:181-207``): computing a full
@@ -6,24 +6,33 @@ transform (reference ``integral_operators.py:181-207``): computing a full
 TPU FFT is slow at the reference's non-power-of-two grids (measured ~6.6 ms
 per 235^2 x 32ch rfft2+irfft2 roundtrip — the entire round-1 step time).
 
-Since only ``m << S`` bins are needed, the transform is a *partial DFT*: a
-``(m, S)`` matrix applied along one axis.  That is a small dense matmul the
-MXU executes in tens of microseconds, and its autodiff transpose is again a
-matmul, so the backward pass never touches an FFT either.  All matmuls run
-with ``precision='highest'`` (f32-accurate 6-pass bf16 on TPU) so accuracy
-matches the f32 FFT path (pinned by tests/test_dft.py).
+Since only ``m << S`` bins are needed, each transform is a *partial DFT*: a
+small dense matrix applied along one axis.  That is a matmul the MXU executes
+in tens of microseconds, and its autodiff transpose is again a matmul, so the
+backward pass never touches an FFT either.
+
+Round-3 fusion: complex arrays are carried as f32 with a **(re, im) plane
+axis at position 2** (after batch and channel), and every stage — including
+the complex ones — is ONE ``dot_general``: the cos/sin matrices are stacked
+into 2x2 block tensors so the plane axis is contracted (or produced) by the
+same dot that contracts the spatial axis.  Round 2 issued 2-4 dots per stage
+(15 per 2D conv); this layout issues one per stage (5 per 2D conv), which
+cuts dispatch count and raises per-dot arithmetic intensity.
+
+All matmuls run with ``precision='highest'`` (f32-accurate multi-pass bf16 on
+TPU) so accuracy matches the f32 FFT path (pinned by tests/test_dft.py).
 
 Conventions match ``numpy.fft`` with ``norm="forward"`` (scale 1/n on the
 forward transform, none on the inverse) as used by the spectral convs, and
 the c2r inverse reproduces ``irfft`` semantics exactly: the imaginary parts
-of the DC and Nyquist bins are discarded (the sin column is zero there) and
+of the DC and Nyquist bins are discarded (their sin rows are zero) and
 interior bins are doubled (hermitian completion).
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -32,119 +41,155 @@ import numpy as np
 Array = jax.Array
 
 _PREC = jax.lax.Precision.HIGHEST
+_L = "abcdefgh"
+
+# The (re, im) plane axis of packed complex arrays.  Spectral-conv data is
+# (B, C, *spatial), so the plane axis slots in after channels and negative
+# spatial-axis indices keep meaning the same spatial axis.
+PLANE_AXIS = 2
 
 
-@lru_cache(maxsize=None)
-def _fwd_mats(n: int, idx: Tuple[int, ...], scaled: bool = True):
-    """(cos, sin) of shape (len(idx), n): X[k] = sum_j x[j] e^{-2 pi i k j / n},
-    divided by n when ``scaled`` (norm="forward" convention)."""
+def _cs(n: int, idx, n_out_div: float) -> tuple[np.ndarray, np.ndarray]:
+    """cos/sin tables (len(idx), n) of angle 2*pi*k*j/n, divided by n_out_div."""
     k = np.asarray(idx, np.float64)[:, None]
     j = np.arange(n, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * k * j / n
-    s = n if scaled else 1.0
     return (
-        (np.cos(ang) / s).astype(np.float32),
-        (np.sin(ang) / s).astype(np.float32),
+        (np.cos(ang) / n_out_div).astype(np.float32),
+        (np.sin(ang) / n_out_div).astype(np.float32),
     )
 
 
 @lru_cache(maxsize=None)
-def _inv_full_mats(n: int, idx: Tuple[int, ...], scaled: bool = False):
-    """(cos, sin) of shape (len(idx), n): x[p] = sum_k X[k] e^{+2 pi i k p / n}.
+def _fwd_real_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
+    """(n, 2, K) block: X[k] = sum_j x[j] e^{-2 pi i k j / n} (/n if scaled).
 
-    Unscaled by default (norm="forward"); ``scaled`` divides by n (the
-    default/backward norm).  Frequencies outside ``idx`` are zero.
+    Plane 0 rows are cos (re), plane 1 rows are -sin (im).
     """
-    k = np.asarray(idx, np.float64)[:, None]
-    p = np.arange(n, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * k * p / n
-    s = n if scaled else 1.0
-    return (np.cos(ang) / s).astype(np.float32), (
-        np.sin(ang) / s
-    ).astype(np.float32)
+    c, s = _cs(n, idx, float(n) if scaled else 1.0)
+    return np.stack([c.T, -s.T], axis=1)  # (n, 2, K)
 
 
 @lru_cache(maxsize=None)
-def _inv_rfft_mats(m: int, n_out: int, scaled: bool = False):
-    """(cos, sin) of shape (m, n_out) reproducing ``irfft`` from ``m`` leading
-    half-spectrum bins: interior bins doubled, DC/Nyquist counted once with
-    imaginary part dropped (sin row is identically zero there)."""
-    l = np.arange(m, dtype=np.float64)[:, None]
-    q = np.arange(n_out, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * l * q / n_out
-    w = np.full((m, 1), 2.0)
+def _fwd_cplx_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
+    """(2, n, 2, K) block for a forward DFT of packed-complex input.
+
+    (xr + i xi)(cos - i sin): re = xr@c + xi@s, im = xi@c - xr@s.
+    Layout T[p_in, j, p_out, k].
+    """
+    c, s = _cs(n, idx, float(n) if scaled else 1.0)
+    ct, st = c.T, s.T  # (n, K)
+    return np.stack(
+        [np.stack([ct, -st], axis=1), np.stack([st, ct], axis=1)], axis=0
+    )
+
+
+@lru_cache(maxsize=None)
+def _inv_cplx_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
+    """(2, K, 2, n) block for a full inverse DFT from bins ``idx`` (others
+    zero): x[p] = sum_k X[k] e^{+2 pi i k p / n} (/n if scaled).
+
+    (yr + i yi)(cos + i sin): re = yr@c - yi@s, im = yr@s + yi@c.
+    Layout T[p_in, k, p_out, pos].
+    """
+    c, s = _cs(n, idx, float(n) if scaled else 1.0)  # (K, n)
+    return np.stack(
+        [np.stack([c, s], axis=1), np.stack([-s, c], axis=1)], axis=0
+    )
+
+
+@lru_cache(maxsize=None)
+def _inv_real_T(m: int, n_out: int, scaled: bool) -> np.ndarray:
+    """(2, m, n_out) block reproducing ``irfft(..., n=n_out)`` from the ``m``
+    leading half-spectrum bins: interior bins doubled, DC/Nyquist counted
+    once with imaginary part dropped."""
+    c, s = _cs(n_out, tuple(range(m)), float(n_out) if scaled else 1.0)
+    w = np.full((m, 1), 2.0, np.float32)
     w[0, 0] = 1.0
     if n_out % 2 == 0 and m - 1 == n_out // 2:
         w[-1, 0] = 1.0
-    if scaled:
-        w /= n_out
-    return (w * np.cos(ang)).astype(np.float32), (w * np.sin(ang)).astype(
-        np.float32
-    )
+    return np.stack([w * c, -(w * s)], axis=0)  # (2, m, n_out)
 
 
-_LETTERS = "abcdefghij"
+def _dot(x: Array, T: np.ndarray, ein: str) -> Array:
+    return jnp.einsum(ein, x, T, precision=_PREC)
 
 
-def _apply(x: Array, mat: np.ndarray, axis: int) -> Array:
-    """Contract ``axis`` of x against rows of ``mat`` ((K, n) -> length K).
+def fwd_real(
+    x: Array, axis: int, n: int, idx: Sequence[int], scaled: bool = True
+) -> Array:
+    """Forward partial DFT of a real array along ``axis`` at bins ``idx``.
 
-    One in-place einsum (no moveaxis) so XLA folds the axis permutation into
-    the dot_general operand layout instead of materialising transposed copies
-    of full-resolution activations.
+    x has NO plane axis; the result gains the (re, im) plane axis at
+    position 2 and the transformed axis becomes length ``len(idx)``.
+    One dot_general.
     """
     ax = axis % x.ndim
-    lhs = _LETTERS[: x.ndim]
-    out = lhs[:ax] + "z" + lhs[ax + 1 :]
-    y = jnp.einsum(
-        f"{lhs},z{lhs[ax]}->{out}", x, mat, precision=_PREC
-    )
-    return y
+    lhs = _L[: x.ndim]
+    out = lhs[:2] + "v" + lhs[2:ax] + "z" + lhs[ax + 1 :]
+    ein = f"{lhs},{lhs[ax]}vz->{out}"
+    return _dot(x, _fwd_real_T(n, tuple(idx), scaled), ein)
 
 
-def fwd_partial_real(
+def _cplx_ein(ndim: int, ax: int) -> str:
+    letters = list(_L[:ndim])
+    letters[PLANE_AXIS] = "u"
+    a = letters[ax]
+    out = list(letters)
+    out[PLANE_AXIS] = "v"
+    out[ax] = "z"
+    return f"{''.join(letters)},u{a}vz->{''.join(out)}"
+
+
+def fwd_cplx(
     x: Array, axis: int, n: int, idx: Sequence[int], scaled: bool = True
-) -> Tuple[Array, Array]:
-    """Forward partial DFT of a real array along ``axis`` at bins ``idx``."""
-    c, s = _fwd_mats(n, tuple(idx), scaled)
-    return _apply(x, c, axis), -_apply(x, s, axis)
-
-
-def fwd_partial_complex(
-    xr: Array, xi: Array, axis: int, n: int, idx: Sequence[int],
-    scaled: bool = True,
-) -> Tuple[Array, Array]:
-    """Forward partial DFT of a complex array given as (re, im) planes."""
-    c, s = _fwd_mats(n, tuple(idx), scaled)
-    # (xr + i xi)(cos - i sin): re = xr c + xi s, im = xi c - xr s
-    return (
-        _apply(xr, c, axis) + _apply(xi, s, axis),
-        _apply(xi, c, axis) - _apply(xr, s, axis),
-    )
-
-
-def inv_full(
-    yr: Array, yi: Array, axis: int, n: int, idx: Sequence[int],
-    scaled: bool = False,
-) -> Tuple[Array, Array]:
-    """Full inverse DFT from bins ``idx`` (all others zero); ``scaled``
-    divides by n (default/backward norm)."""
-    c, s = _inv_full_mats(n, tuple(idx), scaled)
-    c, s = c.T, s.T  # (n, K): _apply contracts the K-length axis
-    # (yr + i yi)(cos + i sin): re = yr c - yi s, im = yr s + yi c
-    return (
-        _apply(yr, c, axis) - _apply(yi, s, axis),
-        _apply(yr, s, axis) + _apply(yi, c, axis),
-    )
-
-
-def inv_rfft(
-    yr: Array, yi: Array, axis: int, n_out: int, scaled: bool = False
 ) -> Array:
-    """Real inverse from the ``m`` leading half-spectrum bins along ``axis``
-    (zero padding to n_out//2+1 implicit), matching ``irfft(..., n=n_out)``
-    with norm="forward" (default) or the backward norm (``scaled``)."""
-    m = yr.shape[axis]
-    c, s = _inv_rfft_mats(m, n_out, scaled)
-    c, s = c.T, s.T  # (n_out, m): _apply contracts the m-length axis
-    return _apply(yr, c, axis) - _apply(yi, s, axis)
+    """Forward partial DFT along ``axis`` of a packed-complex array (plane
+    axis at position 2).  One dot_general contracting (plane, axis)."""
+    ax = axis % x.ndim
+    ein = _cplx_ein(x.ndim, ax)
+    return _dot(x, _fwd_cplx_T(n, tuple(idx), scaled), ein)
+
+
+def inv_cplx(
+    x: Array, axis: int, n: int, idx: Sequence[int], scaled: bool = False
+) -> Array:
+    """Full inverse DFT along ``axis`` from bins ``idx`` (all others zero) of
+    a packed-complex array; output axis has length ``n``.  ``scaled``
+    divides by n (the default/backward norm).  One dot_general."""
+    ax = axis % x.ndim
+    ein = _cplx_ein(x.ndim, ax)
+    return _dot(x, _inv_cplx_T(n, tuple(idx), scaled), ein)
+
+
+def inv_real(
+    x: Array, axis: int, n_out: int, scaled: bool = False
+) -> Array:
+    """Real inverse from the leading half-spectrum bins along ``axis`` of a
+    packed-complex array (zero padding to n_out//2+1 implicit), matching
+    ``irfft(..., n=n_out)`` with norm="forward" (default) or the backward
+    norm (``scaled``).  Consumes the plane axis; one dot_general."""
+    ax = axis % x.ndim
+    m = x.shape[ax]
+    letters = list(_L[: x.ndim])
+    letters[PLANE_AXIS] = "u"
+    a = letters[ax]
+    out = [
+        ("z" if i == ax else l)
+        for i, l in enumerate(letters)
+        if i != PLANE_AXIS
+    ]
+    ein = f"{''.join(letters)},u{a}z->{''.join(out)}"
+    return _dot(x, _inv_real_T(m, n_out, scaled), ein)
+
+
+def pack(re: Array, im: Array) -> Array:
+    """Stack (re, im) planes into the packed layout (plane axis at 2)."""
+    return jnp.stack([re, im], axis=PLANE_AXIS)
+
+
+def unpack(x: Array) -> tuple[Array, Array]:
+    """Split a packed-complex array into its (re, im) planes."""
+    idx0 = (slice(None),) * PLANE_AXIS + (0,)
+    idx1 = (slice(None),) * PLANE_AXIS + (1,)
+    return x[idx0], x[idx1]

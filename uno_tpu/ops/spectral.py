@@ -189,6 +189,31 @@ def _complex_mode_matmul(x_ft: Array, w: Array) -> Array:
     return out
 
 
+def _cmul_planes(xp: Array, w: Array) -> Array:
+    """Complex mode contraction on packed-plane data as ONE dot_general.
+
+    xp: (B, Ci, 2, *modes) f32 (plane axis at dft.PLANE_AXIS);
+    w:  (Ci, Co, *modes) complex64.
+    Returns (B, Co, 2, *modes): per-mode complex matmul over Ci, expressed
+    with a 2x2 block weight tensor so both output planes come out of a
+    single dot (4 real products; the mode counts are tiny, so one dot of
+    4/3 the FLOPs beats round 2's three Karatsuba dots on dispatch count).
+    """
+    wr = jnp.real(w).astype(jnp.float32)
+    wi = jnp.imag(w).astype(jnp.float32)
+    # blk[p_in, q_out]: out_q = sum_p x_p @ blk[p, q]
+    blk = jnp.stack(
+        [jnp.stack([wr, wi], axis=0), jnp.stack([-wi, wr], axis=0)], axis=0
+    )  # (2, 2, Ci, Co, *modes)
+    ms = "xyz"[: w.ndim - 2]
+    ein = f"aiu{ms},uvio{ms}->aov{ms}"
+    return jnp.einsum(
+        ein, xp, blk,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _zeros_c(shape) -> Array:
     return jnp.zeros(shape, jnp.complex64)
 
@@ -211,11 +236,9 @@ def spectral_conv_1d(
         from uno_tpu.ops import dft
 
         n = x.shape[-1]
-        xr, xi = dft.fwd_partial_real(
-            x.astype(jnp.float32), -1, n, range(m1)
-        )
-        out = _complex_mode_matmul(jax.lax.complex(xr, xi), weights[0])
-        return dft.inv_rfft(jnp.real(out), jnp.imag(out), -1, d1)
+        xp = dft.fwd_real(x.astype(jnp.float32), -1, n, range(m1))
+        out = _cmul_planes(xp, weights[0])
+        return dft.inv_real(out, -1, d1)
     x_ft = jnp.fft.rfft(x.astype(jnp.float32), norm="forward")
     out_low = _complex_mode_matmul(x_ft[:, :, :m1], weights[0])
     b, co = out_low.shape[:2]
@@ -247,16 +270,16 @@ def spectral_conv_2d(
 
         w_in = x.shape[-1]
         rows = tuple(range(m1)) + tuple(range(h - m1, h))
-        xr, xi = dft.fwd_partial_real(x.astype(jnp.float32), -2, h, rows)
-        xr, xi = dft.fwd_partial_complex(xr, xi, -1, w_in, range(m2))
-        out = _complex_mode_matmul(jax.lax.complex(xr, xi), w)
+        xp = dft.fwd_real(x.astype(jnp.float32), -2, h, rows)
+        xp = dft.fwd_cplx(xp, -1, w_in, range(m2))
+        out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, m2)
         n_top = min(m1, d1 - m1)
-        kept = jnp.concatenate([out[:, :, :n_top], out[:, :, m1:]], axis=2)
-        idx_out = tuple(range(n_top)) + tuple(range(d1 - m1, d1))
-        yr, yi = dft.inv_full(
-            jnp.real(kept), jnp.imag(kept), -2, d1, idx_out
+        kept = jnp.concatenate(
+            [out[..., :n_top, :], out[..., m1:, :]], axis=-2
         )
-        return dft.inv_rfft(yr, yi, -1, d2)
+        idx_out = tuple(range(n_top)) + tuple(range(d1 - m1, d1))
+        yp = dft.inv_cplx(kept, -2, d1, idx_out)
+        return dft.inv_real(yp, -1, d2)
 
     x_ft = jnp.fft.rfft2(x.astype(jnp.float32), norm="forward")
 
@@ -314,23 +337,23 @@ def spectral_conv_3d(
         t_in = x.shape[-1]
         rows_x = tuple(range(m1)) + tuple(range(sx - m1, sx))
         rows_y = tuple(range(m2)) + tuple(range(sy - m2, sy))
-        xr, xi = dft.fwd_partial_real(
-            x.astype(jnp.float32), -1, t_in, range(m3)
-        )
-        xr, xi = dft.fwd_partial_complex(xr, xi, -3, sx, rows_x)
-        xr, xi = dft.fwd_partial_complex(xr, xi, -2, sy, rows_y)
-        out = _complex_mode_matmul(jax.lax.complex(xr, xi), w)
+        xp = dft.fwd_real(x.astype(jnp.float32), -1, t_in, range(m3))
+        xp = dft.fwd_cplx(xp, -3, sx, rows_x)
+        xp = dft.fwd_cplx(xp, -2, sy, rows_y)
+        out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, 2*m2, m3)
         n_x = min(m1, d1 - m1)
         n_y = min(m2, d2 - m2)
-        kept = jnp.concatenate([out[:, :, :n_x], out[:, :, m1:]], axis=2)
         kept = jnp.concatenate(
-            [kept[:, :, :, :n_y], kept[:, :, :, m2:]], axis=3
+            [out[..., :n_x, :, :], out[..., m1:, :, :]], axis=-3
+        )
+        kept = jnp.concatenate(
+            [kept[..., :n_y, :], kept[..., m2:, :]], axis=-2
         )
         idx_x = tuple(range(n_x)) + tuple(range(d1 - m1, d1))
         idx_y = tuple(range(n_y)) + tuple(range(d2 - m2, d2))
-        yr, yi = dft.inv_full(jnp.real(kept), jnp.imag(kept), -3, d1, idx_x)
-        yr, yi = dft.inv_full(yr, yi, -2, d2, idx_y)
-        return dft.inv_rfft(yr, yi, -1, d3)
+        yp = dft.inv_cplx(kept, -3, d1, idx_x)
+        yp = dft.inv_cplx(yp, -2, d2, idx_y)
+        return dft.inv_real(yp, -1, d3)
 
     x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(-3, -2, -1), norm="forward")
 
@@ -401,14 +424,14 @@ def fourier_truncate_3d(x: Array, out_size: Tuple[int, int, int]) -> Array:
             k for k in range(sy) if (k < m2 or k >= sy - m2) and k < d2
         )
         kt = tuple(range(min(m3, st_, d3 // 2 + 1)))
-        xr, xi = dft.fwd_partial_real(
+        xp = dft.fwd_real(
             x.astype(jnp.float32), -1, t_full, kt, scaled=False
         )
-        xr, xi = dft.fwd_partial_complex(xr, xi, -3, sx, kx, scaled=False)
-        xr, xi = dft.fwd_partial_complex(xr, xi, -2, sy, ky, scaled=False)
-        yr, yi = dft.inv_full(xr, xi, -3, d1, kx, scaled=True)
-        yr, yi = dft.inv_full(yr, yi, -2, d2, ky, scaled=True)
-        return dft.inv_rfft(yr, yi, -1, d3, scaled=True)
+        xp = dft.fwd_cplx(xp, -3, sx, kx, scaled=False)
+        xp = dft.fwd_cplx(xp, -2, sy, ky, scaled=False)
+        yp = dft.inv_cplx(xp, -3, d1, kx, scaled=True)
+        yp = dft.inv_cplx(yp, -2, d2, ky, scaled=True)
+        return dft.inv_real(yp, -1, d3, scaled=True)
 
     ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(-3, -2, -1))
     st = ft.shape[-1]
