@@ -90,7 +90,8 @@ def darcy_model_flops(batch, s, width, pad):
     return total
 
 
-def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = ""):
+def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
+                dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +101,7 @@ def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = ""):
     from uno_tpu.train.state import TrainState, apply_updates
 
     BATCH, S, WIDTH, PAD = 16, 211, width, 12
-    model = build_model("uno9", in_width=3, width=WIDTH, pad=PAD)
+    model = build_model("uno9", in_width=3, width=WIDTH, pad=PAD, dtype=dtype)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, S, S, 1)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((BATCH, S, S)), jnp.float32)
@@ -159,10 +160,83 @@ def bench_width_scaling(widths=(64, 128)):
         out.append(
             bench_darcy(width=w, iters=20, tag=f"darcy_s211_uno9_w{w}")
         )
+        out.append(
+            bench_darcy(width=w, iters=20, dtype="bfloat16",
+                        tag=f"darcy_s211_uno9_w{w}_bf16")
+        )
     return out
 
 
-def bench_ns2d(t_f=40):
+def bench_spectral_roofline():
+    """Achieved FLOP/s of the partial-DFT transform matmul at high
+    arithmetic intensity.
+
+    The reference configs keep m~18 modes, so the transform's intensity is
+    ~m FLOP/byte and the whole model rides the HBM roofline — MFU is flat
+    in width (bench_detail width-scaling entries; PERF.md round 3).  The
+    U-NO contraction cannot raise intensity either: weights are per-mode,
+    so weight traffic grows with modes.  What CAN run dense is the
+    transform itself: at a large-scale config (512^2 grid, 256 retained
+    rows, 128 channels) the row-transform matmul is ~128 FLOP/byte, and
+    this bench shows the same ops/dft.py code sustains MXU-class
+    throughput there — the "is the framework slow or is the model small"
+    separator.  Measured at f32-HIGHEST (6-pass bf16 emulation; its
+    *effective* peak is ~197/6 TFLOP/s) and bf16-DEFAULT (full MXU rate).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.ops import dft
+
+    out = []
+    B, C, S, M1 = 16, 128, 512, 128
+    rows = tuple(range(M1)) + tuple(range(S - M1, S))
+    flops = 2 * B * C * S * S * (2 * 2 * M1)  # (2 planes) x 2m1 rows
+
+    for tag, prec in (
+        (f"dft_row_transform {S}^2 c{C} m{M1} f32-highest", "highest"),
+        (f"dft_row_transform {S}^2 c{C} m{M1} bf16-default", "default"),
+    ):
+        dft.set_precision(prec)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, C, S, S)), jnp.float32)
+
+        def step(x):
+            y = dft.fwd_real(x, -2, S, rows)      # (B, C, 2, 2*M1, S)
+            # fold back to the input shape so the op chains under donation
+            return dft.inv_real(
+                jnp.swapaxes(y, -1, -2)[..., : S // 2 + 1], -1, S
+            )
+
+        f = jax.jit(step, donate_argnums=(0,))
+        x = f(x)  # compile + warm
+        x = f(x)
+        # d2h fence BEFORE timing: dispatch is async on the relay and the
+        # server-side compile (~minutes) otherwise lands inside the timed
+        # loop (block_until_ready does not synchronize — CLAUDE.md)
+        assert np.isfinite(float(jax.jit(jnp.mean)(x)))
+        t0 = time.perf_counter()
+        n_calls = 10
+        for _ in range(n_calls):
+            x = f(x)
+        _ = float(jax.jit(jnp.mean)(x))  # d2h fence (eager reduce is
+        # UNIMPLEMENTED through the relay - CLAUDE.md)
+        # two transforms per step (fwd + inv), count the fwd only => the
+        # per-transform time is dt/2 with equal-shape transforms
+        dt = (time.perf_counter() - t0) / n_calls / 2
+        rec = {
+            "config": tag,
+            "ms_per_transform": round(dt * 1000, 3),
+            "achieved_tflops": round(flops / dt / 1e12, 2),
+            "mfu_vs_bf16_peak": round(flops / dt / TPU_V5E_BF16_PEAK, 4),
+        }
+        print("roofline:", rec, flush=True)
+        out.append(rec)
+    dft.set_precision("highest")
+    return out
+
+
+def bench_ns2d(t_f=40, dtype=None, tag=""):
     """NS-2D autoregressive rollout train step (ns_uno2d_main.py:26-107)."""
     import jax
     import jax.numpy as jnp
@@ -173,7 +247,7 @@ def bench_ns2d(t_f=40):
     from uno_tpu.train.state import TrainState, apply_updates
 
     BATCH, S = 16, 64
-    model = build_model("uno", in_width=14, width=32, pad=0)
+    model = build_model("uno", in_width=14, width=32, pad=0, dtype=dtype)
     rng = np.random.default_rng(0)
     xx = jnp.asarray(rng.standard_normal((BATCH, S, S, 10)), jnp.float32)
     yy = jnp.asarray(rng.standard_normal((BATCH, S, S, t_f)), jnp.float32)
@@ -207,14 +281,14 @@ def bench_ns2d(t_f=40):
     assert np.isfinite(float(loss)), loss
     sec_per_step, state = _time_steps(train_step, state, [(xx, yy)], 20)
     return {
-        "config": f"ns2d_uno_Tf{t_f}_bptt (ns_uno2d_main.py:26-107)",
+        "config": tag or f"ns2d_uno_Tf{t_f}_bptt (ns_uno2d_main.py:26-107)",
         "ms_per_step": round(sec_per_step * 1000, 2),
         "samples_per_sec_per_chip": round(BATCH / sec_per_step, 2),
         "model_evals_per_sec": round(BATCH * t_f / sec_per_step, 1),
     }
 
 
-def bench_ns3d():
+def bench_ns3d(dtype=None, tag=""):
     """NS-3D Uno3D_T40 spatiotemporal train step (ns_uno3d_main.py:33-123)."""
     import jax
     import jax.numpy as jnp
@@ -225,7 +299,7 @@ def bench_ns3d():
     from uno_tpu.train.state import TrainState, apply_updates
 
     BATCH, S, T_IN, T_F = 16, 64, 10, 40
-    model = build_model("uno3d_t40", in_width=6, width=8, pad=3)
+    model = build_model("uno3d_t40", in_width=6, width=8, pad=3, dtype=dtype)
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.standard_normal((BATCH, S, S, T_IN, 1)), jnp.float32
@@ -261,7 +335,7 @@ def bench_ns3d():
     assert np.isfinite(float(loss)), loss
     sec_per_step, state = _time_steps(train_step, state, [(x, y)], 20)
     return {
-        "config": "ns3d_uno3d_t40 (ns_uno3d_main.py:33-123)",
+        "config": tag or "ns3d_uno3d_t40 (ns_uno3d_main.py:33-123)",
         "ms_per_step": round(sec_per_step * 1000, 2),
         "samples_per_sec_per_chip": round(BATCH / sec_per_step, 2),
     }
@@ -353,6 +427,10 @@ def _dp_child() -> None:
         "samples_per_sec_1dev": round(sps_1, 2),
         "samples_per_sec_8dev_dp": round(sps_8, 2),
         "dp_scaling_x": round(sps_8 / sps_1, 2),
+        "note": "virtual CPU devices share one host thread pool and the "
+                "1-device XLA executable already uses every core, so <1x "
+                "quantifies sharding overhead, not scaling (PERF.md); "
+                "positive scaling requires real multi-chip hardware",
     }))
 
 
@@ -369,13 +447,23 @@ def main(full: bool = True) -> None:
         with open("bench_detail.json", "w") as f:
             json.dump(detail, f, indent=1)
 
-    darcy = bench_darcy()
+    # Headline = bf16/f32 mixed precision, the precision the BASELINE.json
+    # north star names ("FFT+matmul roofline on TPU in bf16/fp32-mixed") and
+    # a quality-verified policy (RESULTS.md round 3: Darcy S=211 bf16 run
+    # matches the f32 run's held-out rel-L2).  The f32 step is recorded
+    # alongside for an apples-to-apples-with-torch view.
+    darcy = bench_darcy(dtype="bfloat16", tag="darcy_s211_uno9_bf16_mixed")
     _record(darcy)
+    _record(bench_darcy(tag="darcy_s211_uno9_f32 (darcy_flow_main.py:44-117)"))
     if full:
         for cfg in bench_width_scaling():
             _record(cfg)
+        for cfg in bench_spectral_roofline():
+            _record(cfg)
         _record(bench_ns2d())
+        _record(bench_ns2d(dtype="bfloat16", tag="ns2d_uno_Tf40_bptt_bf16"))
         _record(bench_ns3d())
+        _record(bench_ns3d(dtype="bfloat16", tag="ns3d_uno3d_t40_bf16"))
         _record(bench_darcy_dp_cpu())
 
     sps = darcy["samples_per_sec_per_chip"]
@@ -391,9 +479,47 @@ def main(full: bool = True) -> None:
     )
 
 
+# Perf regression guard (VERDICT r2 #8): pinned round-3 step times for the
+# DFT-path Darcy train step on the session TPU v5e, with a generous band
+# for relay jitter.  A refactor that silently loses the partial-DFT or
+# bf16 wins trips this (FFT path regression would be ~2x; the round-2 bf16
+# conversion bug was ~1.7x).
+GUARD_LIMITS_MS = {
+    "bfloat16": 15.0 * 1.30,
+    "float32": 24.2 * 1.30,
+}
+
+
+def guard() -> int:
+    """Run the Darcy headline configs and fail on step-time regression."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("guard: requires the TPU backend, got", jax.default_backend())
+        return 2
+    rc = 0
+    for dtype, limit in GUARD_LIMITS_MS.items():
+        r = bench_darcy(
+            dtype=None if dtype == "float32" else dtype,
+            iters=20,
+            tag=f"guard_{dtype}",
+        )
+        ok = r["ms_per_step"] <= limit
+        print(json.dumps({
+            "guard": dtype,
+            "ms_per_step": r["ms_per_step"],
+            "limit_ms": round(limit, 1),
+            "ok": ok,
+        }))
+        rc |= 0 if ok else 1
+    return rc
+
+
 if __name__ == "__main__":
     if "--_dp-child" in sys.argv[1:]:
         _dp_child()
+    elif "--guard" in sys.argv[1:]:
+        sys.exit(guard())
     else:
         # --fast: Darcy headline only (the full suite is the default so the
         # driver-visible bench carries every family, VERDICT r2 weak #2)

@@ -55,6 +55,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "--checkpoint-dir); best-val params always saved")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                   help="model compute dtype (mixed-precision policy: "
+                        "params/optimizer/loss stay f32; activations and "
+                        "matmuls run in bf16 at the native MXU rate — "
+                        "~1.6x step-time win on TPU, see PERF.md round 3)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
     p.add_argument("--spatial", type=int, default=1,
@@ -202,8 +207,13 @@ def _cached(path, gen_fn, sig=None):
 
 def _gen_sig(preset, args) -> str:
     """Configuration signature for the generated-data cache."""
+    # darcy sizes via sub (421-grid subsampling); NS tasks via size
+    dim = (
+        f"sub={preset.sub}" if preset.task == "darcy"
+        else f"size={preset.size}"
+    )
     parts = [
-        f"task={preset.task}", f"size={preset.size}",
+        f"task={preset.task}", dim,
         f"ntrain={preset.ntrain}", f"nval={preset.nval}",
         f"ntest={preset.ntest}", f"seed={preset.train.seed}",
     ]
@@ -236,7 +246,9 @@ def cmd_train(args) -> int:
     # single-host); must happen before any backend/mesh use
     initialize_from_env()
     preset = _build_cfg(get_preset(args.preset), args)
-    model = build_model(preset.model, **preset.model_kwargs)
+    model = build_model(
+        preset.model, dtype=args.dtype, **preset.model_kwargs
+    )
     mesh = (
         make_mesh(
             n_data=None if args.data_parallel else 1,

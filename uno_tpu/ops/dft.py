@@ -43,6 +43,25 @@ Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 _L = "abcdefgh"
 
+
+def set_precision(prec) -> None:
+    """Set the matmul precision of the DFT transforms.
+
+    Default HIGHEST (f32-accurate multi-pass bf16) — measured free at the
+    reference configs because the transforms are HBM-bound (PERF.md round
+    3).  For throughput studies at high arithmetic intensity (large mode
+    counts) DEFAULT (single-pass bf16) trades ~1e-3 relative error for the
+    full MXU rate.  Accepts a jax.lax.Precision or its lowercase name.
+    """
+    global _PREC
+    if isinstance(prec, str):
+        prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[prec]
+    _PREC = prec
+
 # The (re, im) plane axis of packed complex arrays.  Spectral-conv data is
 # (B, C, *spatial), so the plane axis slots in after channels and negative
 # spatial-axis indices keep meaning the same spatial axis.
@@ -60,7 +79,7 @@ def _cs(n: int, idx, n_out_div: float) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)  # bounded: resolution sweeps otherwise accumulate host tables (ADVICE r2)
 def _fwd_real_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
     """(n, 2, K) block: X[k] = sum_j x[j] e^{-2 pi i k j / n} (/n if scaled).
 
@@ -70,7 +89,7 @@ def _fwd_real_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
     return np.stack([c.T, -s.T], axis=1)  # (n, 2, K)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)  # bounded: resolution sweeps otherwise accumulate host tables (ADVICE r2)
 def _fwd_cplx_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
     """(2, n, 2, K) block for a forward DFT of packed-complex input.
 
@@ -84,7 +103,7 @@ def _fwd_cplx_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
     )
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)  # bounded: resolution sweeps otherwise accumulate host tables (ADVICE r2)
 def _inv_cplx_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
     """(2, K, 2, n) block for a full inverse DFT from bins ``idx`` (others
     zero): x[p] = sum_k X[k] e^{+2 pi i k p / n} (/n if scaled).
@@ -98,7 +117,7 @@ def _inv_cplx_T(n: int, idx: tuple, scaled: bool) -> np.ndarray:
     )
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)  # bounded: resolution sweeps otherwise accumulate host tables (ADVICE r2)
 def _inv_real_T(m: int, n_out: int, scaled: bool) -> np.ndarray:
     """(2, m, n_out) block reproducing ``irfft(..., n=n_out)`` from the ``m``
     leading half-spectrum bins: interior bins doubled, DC/Nyquist counted
@@ -112,6 +131,22 @@ def _inv_real_T(m: int, n_out: int, scaled: bool) -> np.ndarray:
 
 
 def _dot(x: Array, T: np.ndarray, ein: str) -> Array:
+    if x.dtype == jnp.bfloat16:
+        # True mixed precision (round 3): bf16 operands at the native MXU
+        # rate with f32 accumulation, output written back as bf16.  The
+        # table cast constant-folds; the output convert fuses into the dot
+        # epilogue, so the transform reads/writes HALF the bytes of the
+        # f32 path — the win that matters on an HBM-bound step (PERF.md).
+        # Round 2's bf16 policy was slower only because the old DFT path
+        # forced f32 entry/exit conversions around each transform.
+        y = jnp.einsum(
+            ein,
+            x,
+            jnp.asarray(T).astype(jnp.bfloat16),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(jnp.bfloat16)
     return jnp.einsum(ein, x, T, precision=_PREC)
 
 

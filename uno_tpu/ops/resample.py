@@ -55,7 +55,7 @@ def _cubic(t: np.ndarray, a: float) -> np.ndarray:
     )
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)  # bounded: resolution sweeps otherwise accumulate host tables (ADVICE r2)
 def resize_matrix(
     n_in: int,
     n_out: int,
@@ -141,6 +141,10 @@ def resize(
         wm = jnp.asarray(
             resize_matrix(n_in, out_size, kernel, align_corners, antialias)
         )
+        if dtype == jnp.bfloat16:
+            # mixed-precision policy: keep the resample matmul in bf16 (f32
+            # matrices would silently promote the whole activation to f32)
+            wm = wm.astype(jnp.bfloat16)
         x = jnp.tensordot(x, wm, axes=[[ax], [1]])
         # tensordot puts the new axis last; move it back.
         x = jnp.moveaxis(x, -1, ax)

@@ -192,12 +192,14 @@ def _complex_mode_matmul(x_ft: Array, w: Array) -> Array:
 def _cmul_planes(xp: Array, w: Array) -> Array:
     """Complex mode contraction on packed-plane data as ONE dot_general.
 
-    xp: (B, Ci, 2, *modes) f32 (plane axis at dft.PLANE_AXIS);
+    xp: (B, Ci, 2, *modes) f32 or bf16 (plane axis at dft.PLANE_AXIS);
     w:  (Ci, Co, *modes) complex64.
     Returns (B, Co, 2, *modes): per-mode complex matmul over Ci, expressed
     with a 2x2 block weight tensor so both output planes come out of a
     single dot (4 real products; the mode counts are tiny, so one dot of
     4/3 the FLOPs beats round 2's three Karatsuba dots on dispatch count).
+    bf16 inputs (the mixed-precision policy) run at the native MXU rate
+    with f32 accumulation; params stay f32 — only the compute cast is bf16.
     """
     wr = jnp.real(w).astype(jnp.float32)
     wi = jnp.imag(w).astype(jnp.float32)
@@ -207,6 +209,12 @@ def _cmul_planes(xp: Array, w: Array) -> Array:
     )  # (2, 2, Ci, Co, *modes)
     ms = "xyz"[: w.ndim - 2]
     ein = f"aiu{ms},uvio{ms}->aov{ms}"
+    if xp.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            ein, xp, blk.astype(jnp.bfloat16),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
     return jnp.einsum(
         ein, xp, blk,
         precision=jax.lax.Precision.HIGHEST,
@@ -216,6 +224,13 @@ def _cmul_planes(xp: Array, w: Array) -> Array:
 
 def _zeros_c(shape) -> Array:
     return jnp.zeros(shape, jnp.complex64)
+
+
+def _dft_in(x: Array) -> Array:
+    """Compute dtype entering the DFT transforms: bf16 stays bf16 (the
+    mixed-precision policy — transforms run at the MXU bf16 rate with f32
+    accumulation), everything else computes in f32."""
+    return x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
 
 
 def spectral_conv_1d(
@@ -236,7 +251,7 @@ def spectral_conv_1d(
         from uno_tpu.ops import dft
 
         n = x.shape[-1]
-        xp = dft.fwd_real(x.astype(jnp.float32), -1, n, range(m1))
+        xp = dft.fwd_real(_dft_in(x), -1, n, range(m1))
         out = _cmul_planes(xp, weights[0])
         return dft.inv_real(out, -1, d1)
     x_ft = jnp.fft.rfft(x.astype(jnp.float32), norm="forward")
@@ -270,7 +285,7 @@ def spectral_conv_2d(
 
         w_in = x.shape[-1]
         rows = tuple(range(m1)) + tuple(range(h - m1, h))
-        xp = dft.fwd_real(x.astype(jnp.float32), -2, h, rows)
+        xp = dft.fwd_real(_dft_in(x), -2, h, rows)
         xp = dft.fwd_cplx(xp, -1, w_in, range(m2))
         out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, m2)
         n_top = min(m1, d1 - m1)
@@ -337,7 +352,7 @@ def spectral_conv_3d(
         t_in = x.shape[-1]
         rows_x = tuple(range(m1)) + tuple(range(sx - m1, sx))
         rows_y = tuple(range(m2)) + tuple(range(sy - m2, sy))
-        xp = dft.fwd_real(x.astype(jnp.float32), -1, t_in, range(m3))
+        xp = dft.fwd_real(_dft_in(x), -1, t_in, range(m3))
         xp = dft.fwd_cplx(xp, -3, sx, rows_x)
         xp = dft.fwd_cplx(xp, -2, sy, rows_y)
         out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, 2*m2, m3)
@@ -425,7 +440,7 @@ def fourier_truncate_3d(x: Array, out_size: Tuple[int, int, int]) -> Array:
         )
         kt = tuple(range(min(m3, st_, d3 // 2 + 1)))
         xp = dft.fwd_real(
-            x.astype(jnp.float32), -1, t_full, kt, scaled=False
+            _dft_in(x), -1, t_full, kt, scaled=False
         )
         xp = dft.fwd_cplx(xp, -3, sx, kx, scaled=False)
         xp = dft.fwd_cplx(xp, -2, sy, ky, scaled=False)
