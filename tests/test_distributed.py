@@ -231,3 +231,59 @@ def test_prefetching_batches_match_direct(tmp_path):
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
         np.testing.assert_array_equal(np.asarray(xb), xs[want_idx])
         np.testing.assert_array_equal(np.asarray(yb), ys[want_idx])
+
+
+def test_layout_perm_minimizes_padding():
+    """NS-style trailing time axes store transposed; square grids don't."""
+    from uno_tpu.train.common import _best_layout_perm, _padded_nbytes
+
+    # (n, 256, 256, 40): trailing 40 pads 3.2x -> store time axis early
+    perm = _best_layout_perm((300, 256, 256, 40))
+    assert [300, 256, 256, 40][perm[-1]] % 128 == 0
+    assert _padded_nbytes([(300, 256, 256, 40)[i] for i in perm], 4) == (
+        300 * 40 * 256 * 256 * 4
+    )
+    # already optimal stays identity-cost (any perm with the same bytes ok)
+    s211 = (16, 211, 211)
+    assert _padded_nbytes(
+        [s211[i] for i in _best_layout_perm(s211)], 4
+    ) <= _padded_nbytes(s211, 4)
+
+
+def test_single_chip_placer_layout_roundtrip():
+    """Batches come back in the caller's axis order under any storage perm."""
+    from uno_tpu.data.batching import epoch_batches
+    from uno_tpu.train.common import DataPlacer
+
+    rng0 = np.random.default_rng(0)
+    xs = rng0.standard_normal((12, 6, 6, 40)).astype(np.float32)
+    ys = rng0.standard_normal((12, 6, 6)).astype(np.float32)
+    data = DataPlacer(None, xs, ys)
+    rng = np.random.default_rng(1)
+    idxs = list(epoch_batches(rng, 12, 4, drop_remainder=True))
+    for (xb, yb, idx), want in zip(
+        data.batches(0, 1, iter(idxs), prefetch=1), idxs
+    ):
+        np.testing.assert_array_equal(np.asarray(xb), xs[want])
+        np.testing.assert_array_equal(np.asarray(yb), ys[want])
+
+
+def test_single_chip_placer_host_fallback(monkeypatch):
+    """Past the HBM budget the dataset stays host-resident but batches match."""
+    from uno_tpu.data.batching import epoch_batches
+    from uno_tpu.train.common import DataPlacer
+
+    monkeypatch.setenv("UNO_TPU_DATA_HBM_BUDGET", "1024")
+    rng0 = np.random.default_rng(0)
+    xs = rng0.standard_normal((12, 6, 6, 5)).astype(np.float32)
+    ys = rng0.standard_normal((12, 6, 6)).astype(np.float32)
+    data = DataPlacer(None, xs, ys)
+    assert isinstance(data.arrays[0], np.ndarray)
+    rng = np.random.default_rng(1)
+    idxs = list(epoch_batches(rng, 12, 4, drop_remainder=True))
+    for (xb, yb, idx), want in zip(
+        data.batches(0, 1, iter(idxs), prefetch=1), idxs
+    ):
+        assert isinstance(xb, jax.Array)
+        np.testing.assert_array_equal(np.asarray(xb), xs[want])
+        np.testing.assert_array_equal(np.asarray(yb), ys[want])

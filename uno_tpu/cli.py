@@ -72,6 +72,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu-devices", type=int, default=None,
                    help="with --platform cpu: number of virtual devices "
                         "(for testing data-parallel/spatial meshes)")
+    p.add_argument("--log", default=None,
+                   help="append metric JSONL to this file (also printed "
+                        "to stdout)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first epochs")
     p.add_argument("--tensorboard", default=None)
@@ -205,6 +208,24 @@ def _cached(path, gen_fn, sig=None):
     return data
 
 
+class _Tee:
+    """Write metric JSONL to both stdout and an append-mode file."""
+
+    def __init__(self, path):
+        import sys
+
+        self._file = open(path, "a")
+        self._out = sys.stdout
+
+    def write(self, s):
+        self._file.write(s)
+        self._out.write(s)
+
+    def flush(self):
+        self._file.flush()
+        self._out.flush()
+
+
 def _gen_sig(preset, args) -> str:
     """Configuration signature for the generated-data cache."""
     # darcy sizes via sub (421-grid subsampling); NS tasks via size
@@ -257,7 +278,10 @@ def cmd_train(args) -> int:
         if (args.data_parallel or args.spatial > 1)
         else None
     )
-    logger = MetricLogger(tensorboard_dir=preset.train.log_tensorboard)
+    logger = MetricLogger(
+        stream=_Tee(args.log) if args.log else None,
+        tensorboard_dir=preset.train.log_tensorboard,
+    )
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)

@@ -51,21 +51,97 @@ def lr_at(cfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
     return cfg.learning_rate * cfg.scheduler_gamma ** (epoch // eff)
 
 
+def _padded_nbytes(shape, itemsize) -> int:
+    """Estimate a buffer's device footprint under TPU (8, 128) tiling.
+
+    The minor-most dim pads to a multiple of 128 (lanes) and the
+    second-minor to 8 (sublanes) — a trailing time axis of 40 costs 3.2x,
+    of 10 costs 12.8x (the exact expansions XLA reported for the 256^2
+    NS dataset OOM this fix exists for).
+    """
+    if len(shape) == 0:
+        return itemsize
+    dims = list(shape)
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // 8) * 8
+    n = itemsize
+    for d in dims:
+        n *= d
+    return n
+
+
+def _best_layout_perm(shape) -> tuple:
+    """Axis order (keeping axis 0, the sample axis) minimizing tile padding.
+
+    Datasets are stored on device in this order and each gathered batch is
+    transposed back — a free-ish device op — so a (n, 256, 256, 40) NS
+    tensor stores as (n, 40, 256, 256) and costs 1.0x instead of 3.2x HBM.
+    """
+    import itertools
+
+    ndim = len(shape)
+    if ndim <= 2:
+        return tuple(range(ndim))
+    best, best_bytes = tuple(range(ndim)), _padded_nbytes(shape, 1)
+    for tail in itertools.permutations(range(1, ndim)):
+        perm = (0,) + tail
+        b = _padded_nbytes([shape[i] for i in perm], 1)
+        if b < best_bytes:
+            best, best_bytes = perm, b
+    return best
+
+
+# Device-resident dataset budget (bytes of *padded* footprint, all splits
+# combined).  ~16G v5e HBM minus room for params, moments, and the remat'd
+# BPTT activations.  Override with UNO_TPU_DATA_HBM_BUDGET.
+_DEFAULT_HBM_BUDGET = int(9e9)
+
+
 class DataPlacer:
     """Dataset placement policy.
 
-    Single-chip: the whole dataset is moved to HBM once and batches are
-    gathered on device (no per-step host->device traffic).  With a mesh:
-    datasets stay in host RAM (arbitrary sizes rarely divide the device
-    count) and each batch is device_put with batch sharding; batch sizes
-    must divide the 'data' axis, so trainers force drop_remainder.
+    Single-chip: the whole dataset is moved to HBM once — in a tile-
+    padding-optimal axis order (``_best_layout_perm``) — and batches are
+    gathered on device (no per-step host->device traffic).  If even the
+    optimal layout exceeds the HBM budget the dataset stays in host RAM
+    and batches are ``device_put`` per step (async, overlapped by
+    ``batches``'s prefetch).  With a mesh: datasets stay in host RAM
+    (arbitrary sizes rarely divide the device count) and each batch is
+    device_put with batch sharding; batch sizes must divide the 'data'
+    axis, so trainers force drop_remainder.
     """
 
     def __init__(self, mesh, *arrays):
+        import os
+
         self.mesh = mesh
         self.spatial_constraint = None
+        self._perms = None
         if mesh is None:
-            self.arrays = tuple(jnp.asarray(a) for a in arrays)
+            budget = int(
+                os.environ.get("UNO_TPU_DATA_HBM_BUDGET", _DEFAULT_HBM_BUDGET)
+            )
+            perms = [_best_layout_perm(np.shape(a)) for a in arrays]
+            padded = sum(
+                _padded_nbytes(
+                    [np.shape(a)[i] for i in perm], np.asarray(a).itemsize
+                )
+                for a, perm in zip(arrays, perms)
+            )
+            if padded <= budget:
+                self._perms = perms
+                self.arrays = tuple(
+                    jnp.asarray(np.transpose(np.asarray(a), perm))
+                    for a, perm in zip(arrays, perms)
+                )
+            else:
+                print(
+                    f"DataPlacer: padded dataset footprint {padded/1e9:.1f} "
+                    f"GB exceeds HBM budget {budget/1e9:.1f} GB — keeping "
+                    "data host-resident (per-batch device_put)"
+                )
+                self.arrays = tuple(np.asarray(a) for a in arrays)
         else:
             from uno_tpu.parallel.mesh import (
                 batch_sharding,
@@ -87,6 +163,14 @@ class DataPlacer:
     def batch(self, i, idx):
         a = self.arrays[i][idx]
         if self.mesh is None:
+            if isinstance(a, np.ndarray):
+                return jax.device_put(a)  # host-resident fallback (async)
+            if self._perms is not None:
+                perm = self._perms[i]
+                if perm != tuple(range(len(perm))):
+                    # undo the storage layout: batch comes back in the
+                    # caller's (sample, *original axes) order
+                    a = jnp.transpose(a, tuple(int(j) for j in np.argsort(perm)))
             return a
         from uno_tpu.parallel.distributed import process_local_batch
 
