@@ -91,7 +91,7 @@ def darcy_model_flops(batch, s, width, pad):
 
 
 def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
-                dtype=None):
+                dtype=None, fused_adam: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -108,7 +108,8 @@ def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     tx = complex_adam(
-        step_lr(1e-3, 100, 0.5, steps_per_epoch=94), weight_decay=1e-3
+        step_lr(1e-3, 100, 0.5, steps_per_epoch=94), weight_decay=1e-3,
+        fused=fused_adam,
     )
     state = TrainState.create(params, tx)
 

@@ -120,3 +120,61 @@ def test_amsgrad():
         params = jax.tree.map(lambda p, u: p + u, params, updates)
     # max_nu retains the large first-step moment
     assert float(state.max_nu["w"][0]) >= float(state.nu["w"][0])
+
+
+def test_fused_adam_matches_per_leaf_exactly():
+    """fused=True is the same elementwise math on flat buffers: the update
+    trajectories must agree to f32 bit-level over many steps, complex and
+    real leaves, with weight decay and a schedule."""
+    from uno_tpu.optim import step_lr
+
+    rng = np.random.default_rng(3)
+    params = {
+        "a": jnp.asarray(rng.standard_normal((3, 4)), jnp.float32),
+        "b": jnp.asarray(
+            rng.standard_normal((2, 5)) + 1j * rng.standard_normal((2, 5)),
+            jnp.complex64,
+        ),
+        "c": {"d": jnp.asarray(rng.standard_normal((7,)), jnp.float32)},
+    }
+    sched = step_lr(1e-3, 2, 0.5, steps_per_epoch=3)
+    ref = complex_adam(sched, weight_decay=1e-3)
+    fus = complex_adam(sched, weight_decay=1e-3, fused=True)
+    p_ref, p_fus = params, params
+    s_ref, s_fus = ref.init(p_ref), fus.init(p_fus)
+    for step in range(12):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape)
+                + (1j * rng.standard_normal(p.shape) if jnp.iscomplexobj(p) else 0),
+                p.dtype,
+            ),
+            p_ref,
+        )
+        u_ref, s_ref = ref.update(g, s_ref, p_ref)
+        u_fus, s_fus = fus.update(g, s_fus, p_fus)
+        for k in jax.tree_util.tree_leaves(
+            jax.tree.map(lambda a, b: np.max(np.abs(a - b)), u_ref, u_fus)
+        ):
+            assert float(k) == 0.0, f"step {step}: {k}"
+        p_ref = jax.tree.map(lambda p, u: p + u, p_ref, u_ref)
+        p_fus = jax.tree.map(lambda p, u: p + u, p_fus, u_fus)
+
+
+def test_fused_adam_amsgrad_matches():
+    params = {
+        "w": jnp.asarray([1.0, 2.0], jnp.float32),
+        "z": jnp.asarray([1 + 2j], jnp.complex64),
+    }
+    ref = complex_adam(1e-2, amsgrad=True)
+    fus = complex_adam(1e-2, amsgrad=True, fused=True)
+    s_ref, s_fus = ref.init(params), fus.init(params)
+    g = {
+        "w": jnp.asarray([10.0, 0.1], jnp.float32),
+        "z": jnp.asarray([0.5 - 1j], jnp.complex64),
+    }
+    for _ in range(3):
+        u_ref, s_ref = ref.update(g, s_ref, params)
+        u_fus, s_fus = fus.update(g, s_fus, params)
+        np.testing.assert_array_equal(np.asarray(u_ref["w"]), np.asarray(u_fus["w"]))
+        np.testing.assert_array_equal(np.asarray(u_ref["z"]), np.asarray(u_fus["z"]))

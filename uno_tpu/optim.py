@@ -42,6 +42,43 @@ def _real_zeros_like(p):
     return jnp.zeros(p.shape, jnp.float32)
 
 
+def _flat_groups(tree):
+    """Split a pytree's leaves into one flat complex and one flat real
+    buffer (plus the recipe to undo it).
+
+    The per-leaf Adam math costs ~8 small fused kernels per leaf — ~200
+    dispatches per step on UNO_9's 27 leaves, a measurable slice of an
+    op-count-bound TPU step (PERF.md).  Concatenating each dtype group
+    into ONE buffer runs the whole update in a handful of large ops; the
+    elementwise math is identical, so this is bit-compatible with the
+    per-leaf path (tests/test_optim.py pins it).
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    kinds = tuple(
+        "c" if jnp.iscomplexobj(l) else "r" for l in leaves
+    )
+    bufs = {}
+    for kind in ("c", "r"):
+        group = [l.ravel() for l, k in zip(leaves, kinds) if k == kind]
+        if group:
+            bufs[kind] = (
+                group[0] if len(group) == 1 else jnp.concatenate(group)
+            )
+
+    def unflatten(flat_bufs):
+        out, pos = [], {"c": 0, "r": 0}
+        for leaf, kind in zip(leaves, kinds):
+            n = leaf.size
+            seg = jax.lax.dynamic_slice_in_dim(
+                flat_bufs[kind], pos[kind], n
+            )
+            out.append(seg.reshape(leaf.shape))
+            pos[kind] += n
+        return jax.tree.unflatten(treedef, out)
+
+    return bufs, unflatten
+
+
 def complex_adam(
     learning_rate: optax.ScalarOrSchedule,
     b1: float = 0.9,
@@ -49,8 +86,18 @@ def complex_adam(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     amsgrad: bool = False,
+    fused: bool = False,
 ) -> optax.GradientTransformation:
-    """Reference-parity Adam over pytrees with real and complex leaves."""
+    """Reference-parity Adam over pytrees with real and complex leaves.
+
+    ``fused=True`` runs the update on per-dtype flattened buffers (same
+    math, ~10 ops instead of ~8 per leaf); the optimizer state is then
+    flat, so checkpoints are not interchangeable with ``fused=False``.
+    """
+    if fused:
+        return _fused_complex_adam(
+            learning_rate, b1, b2, eps, weight_decay, amsgrad
+        )
 
     def init_fn(params):
         mu = jax.tree.map(jnp.zeros_like, params)
@@ -99,6 +146,27 @@ def complex_adam(
 
         new_updates = jax.tree.map(_delta, mu, denom_src)
         return new_updates, ComplexAdamState(count, mu, nu, max_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _fused_complex_adam(
+    learning_rate, b1, b2, eps, weight_decay, amsgrad
+) -> optax.GradientTransformation:
+    """complex_adam over per-dtype flattened buffers (see _flat_groups)."""
+    inner = complex_adam(
+        learning_rate, b1, b2, eps, weight_decay, amsgrad
+    )
+
+    def init_fn(params):
+        bufs, _ = _flat_groups(params)
+        return inner.init(bufs)
+
+    def update_fn(updates, state, params=None):
+        gbufs, unflatten = _flat_groups(updates)
+        pbufs = _flat_groups(params)[0] if params is not None else None
+        flat_updates, state = inner.update(gbufs, state, pbufs)
+        return unflatten(flat_updates), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
