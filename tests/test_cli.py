@@ -24,6 +24,23 @@ def test_preset_overrides():
     assert PRESETS["darcy_s85"].train.epochs == 700
 
 
+def test_compile_cache_flag(tmp_path):
+    import jax
+
+    from uno_tpu.cli import _setup_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        _setup_compile_cache(None)          # no-op
+        _setup_compile_cache("none")        # explicit disable: no-op
+        assert jax.config.jax_compilation_cache_dir == prev
+        cache = tmp_path / "xla_cache"
+        _setup_compile_cache(str(cache))
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.mark.slow
 def test_cli_train_darcy_generated():
     rc = main([

@@ -78,6 +78,28 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first epochs")
     p.add_argument("--tensorboard", default=None)
+    _add_cache_arg(p)
+
+
+def _add_cache_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--compile-cache", default=".jax_cache", metavar="DIR",
+        help="persistent XLA compilation cache directory ('none' to "
+             "disable).  Compiled executables are reused across runs, "
+             "cutting multi-leg resume / re-run startup from minutes to "
+             "seconds (works through the remote-compile relay too)",
+    )
+
+
+def _setup_compile_cache(path) -> None:
+    if not path or str(path).lower() == "none":
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    # default threshold skips sub-second compiles; everything here that
+    # matters (train step, solver scan) is multi-second
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _build_cfg(preset, args):
@@ -435,12 +457,15 @@ def main(argv=None) -> int:
     p_gen.add_argument("--T", type=float, default=50.0)
     p_gen.add_argument("--delta-t", type=float, default=1e-4)
     p_gen.add_argument("--record-steps", type=int, default=50)
+    _add_cache_arg(p_gen)
     p_gen.set_defaults(fn=cmd_generate)
 
     p_bench = sub.add_parser("bench")
+    _add_cache_arg(p_bench)
     p_bench.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    _setup_compile_cache(getattr(args, "compile_cache", None))
     return args.fn(args)
 
 
