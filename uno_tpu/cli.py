@@ -5,6 +5,7 @@ ns_uno2d_main.py, ns_uno3d_main.py) with one CLI over named presets:
 
     python -m uno_tpu.cli train --preset darcy_s85 --data darcy.mat
     python -m uno_tpu.cli train --preset ns2d --generate --ntrain 64 --epochs 2
+    python -m uno_tpu.cli eval --preset ns2d --generate --checkpoint-dir ck
     python -m uno_tpu.cli generate --task ns2d --out ns_data.mat
     python -m uno_tpu.cli bench
 
@@ -271,6 +272,58 @@ def _gen_sig(preset, args) -> str:
     return ",".join(parts)
 
 
+def _load_task_data(preset, args):
+    """Resolve the preset's 6-array split (train/val/test x input/target)
+    from --data / --generate / --data-cache, identically for train and
+    eval so an eval sees exactly the splits the training run saw."""
+    if preset.task == "darcy":
+        if args.generate or not args.data:
+            return _cached(
+                args.data_cache,
+                lambda: _gen_darcy(preset, seed=preset.train.seed),
+                sig=_gen_sig(preset, args),
+            )
+        if len(args.data) > 1:
+            from uno_tpu.data import load_darcy_multi
+
+            return load_darcy_multi(
+                args.data, preset.ntrain, preset.nval, preset.ntest,
+                sub=preset.sub, seed=preset.train.seed,
+            )
+        from uno_tpu.data import load_darcy
+
+        xt, yt, xs_, ys_ = load_darcy(
+            preset.sub, preset.ntrain + preset.nval, preset.ntest,
+            args.data[0],
+        )
+        i1 = preset.ntrain
+        return (xt[:i1], yt[:i1], xt[i1:], yt[i1:], xs_, ys_)
+    if preset.task in ("ns2d", "ns3d"):
+        if args.generate or not args.data:
+            return _cached(
+                args.data_cache,
+                lambda: _gen_ns(
+                    preset, seed=preset.train.seed,
+                    T=args.gen_T, delta_t=args.gen_dt,
+                ),
+                sig=_gen_sig(preset, args),
+            )
+        from uno_tpu.data import load_navier_stokes
+
+        ta, tu, sa, su = load_navier_stokes(
+            args.data[0],
+            train=preset.ntrain + preset.nval,
+            test=preset.ntest,
+            sample_num=preset.ntrain + preset.nval + preset.ntest,
+            t_in=preset.t_in,
+            t_out=preset.t_f,
+            size=preset.size,
+        )
+        i1 = preset.ntrain
+        return (ta[:i1], tu[:i1], ta[i1:], tu[i1:], sa, su)
+    raise ValueError(preset.task)
+
+
 def cmd_train(args) -> int:
     import jax
 
@@ -309,89 +362,86 @@ def cmd_train(args) -> int:
         jax.profiler.start_trace(args.profile_dir)
 
     try:
+        data = _load_task_data(preset, args)
         if preset.task == "darcy":
-            if args.generate or not args.data:
-                data = _cached(
-                    args.data_cache,
-                    lambda: _gen_darcy(preset, seed=preset.train.seed),
-                    sig=_gen_sig(preset, args),
-                )
-            elif len(args.data) > 1:
-                from uno_tpu.data import load_darcy_multi
-
-                data = load_darcy_multi(
-                    args.data, preset.ntrain, preset.nval, preset.ntest,
-                    sub=preset.sub, seed=preset.train.seed,
-                )
-            else:
-                from uno_tpu.data import load_darcy
-
-                xt, yt, xs_, ys_ = load_darcy(
-                    preset.sub, preset.ntrain + preset.nval, preset.ntest,
-                    args.data[0],
-                )
-                i1 = preset.ntrain
-                data = (xt[:i1], yt[:i1], xt[i1:], yt[i1:], xs_, ys_)
-            out = train_darcy(model, *data, preset.train, mesh=mesh, logger=logger)
+            train_darcy(model, *data, preset.train, mesh=mesh, logger=logger)
         elif preset.task == "ns2d":
-            if args.generate or not args.data:
-                data = _cached(
-                    args.data_cache,
-                    lambda: _gen_ns(
-                        preset, seed=preset.train.seed,
-                        T=args.gen_T, delta_t=args.gen_dt,
-                    ),
-                    sig=_gen_sig(preset, args),
-                )
-            else:
-                from uno_tpu.data import load_navier_stokes
-
-                ta, tu, sa, su = load_navier_stokes(
-                    args.data[0],
-                    train=preset.ntrain + preset.nval,
-                    test=preset.ntest,
-                    sample_num=preset.ntrain + preset.nval + preset.ntest,
-                    t_in=preset.t_in,
-                    t_out=preset.t_f,
-                    size=preset.size,
-                )
-                i1 = preset.ntrain
-                data = (ta[:i1], tu[:i1], ta[i1:], tu[i1:], sa, su)
-            out = train_ns2d(
-                model, *data, preset.train, t_f=preset.t_f, mesh=mesh, logger=logger
-            )
-        elif preset.task == "ns3d":
-            if args.generate or not args.data:
-                data = _cached(
-                    args.data_cache,
-                    lambda: _gen_ns(
-                        preset, seed=preset.train.seed,
-                        T=args.gen_T, delta_t=args.gen_dt,
-                    ),
-                    sig=_gen_sig(preset, args),
-                )
-            else:
-                from uno_tpu.data import load_navier_stokes
-
-                ta, tu, sa, su = load_navier_stokes(
-                    args.data[0],
-                    train=preset.ntrain + preset.nval,
-                    test=preset.ntest,
-                    sample_num=preset.ntrain + preset.nval + preset.ntest,
-                    t_in=preset.t_in,
-                    t_out=preset.t_f,
-                    size=preset.size,
-                )
-                i1 = preset.ntrain
-                data = (ta[:i1], tu[:i1], ta[i1:], tu[i1:], sa, su)
-            out = train_ns3d(
+            train_ns2d(
                 model, *data, preset.train, t_f=preset.t_f, mesh=mesh, logger=logger
             )
         else:
-            raise ValueError(preset.task)
+            train_ns3d(
+                model, *data, preset.train, t_f=preset.t_f, mesh=mesh, logger=logger
+            )
     finally:
         if args.profile_dir:
             jax.profiler.stop_trace()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Evaluate a trained checkpoint's best-val params on the preset's
+    val and test splits (the reference only evaluates inside training,
+    train_darcy.py:86-100; a standalone eval is net-new surface)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.configs.presets import get_preset
+    from uno_tpu.models import build_model
+    from uno_tpu.train.checkpoint import CheckpointManager
+    from uno_tpu.train.evaluate import (
+        evaluate_darcy,
+        evaluate_ns2d,
+        evaluate_ns3d,
+    )
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    if not args.checkpoint_dir:
+        raise SystemExit("eval requires --checkpoint-dir")
+    preset = _build_cfg(get_preset(args.preset), args)
+    model = build_model(preset.model, dtype=args.dtype, **preset.model_kwargs)
+    data = _load_task_data(preset, args)
+    _, _, val_a, val_u, test_a, test_u = data
+
+    sample = jnp.asarray(data[0][:1])
+    if preset.task == "ns3d":
+        sample = sample[..., None]
+    template = jax.jit(model.init)(jax.random.PRNGKey(preset.train.seed), sample)
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    if not ckpt.exists("best_params"):
+        raise SystemExit(
+            f"no best_params checkpoint under {args.checkpoint_dir} — "
+            "was the run trained with --checkpoint-dir and at least one "
+            "validation pass?"
+        )
+    params = ckpt.restore("best_params", template)
+
+    bs = preset.train.batch_size
+    out = {"task": preset.task, "preset": preset.name,
+           "checkpoint": args.checkpoint_dir}
+    for split, a, u in (("val", val_a, val_u), ("test", test_a, test_u)):
+        if not len(a):
+            continue
+        if preset.task == "darcy":
+            out[f"{split}_rel_l2"] = evaluate_darcy(model, params, a, u, bs)
+        elif preset.task == "ns2d":
+            r = evaluate_ns2d(model, params, a, u, preset.t_f, bs)
+            out[f"{split}_step_rel_l2"] = r["step_rel_l2"]
+            out[f"{split}_traj_rel_l2"] = r["traj_rel_l2"]
+        else:
+            r = evaluate_ns3d(model, params, a, u, preset.t_f, bs)
+            out[f"{split}_field_rel_l2"] = r["field_rel_l2"]
+            out[f"{split}_step_rel_l2"] = r["step_rel_l2"]
+    line = json.dumps(out)
+    print(line)
+    if args.log:
+        with open(args.log, "a") as f:
+            f.write(line + "\n")
     return 0
 
 
@@ -446,6 +496,10 @@ def main(argv=None) -> int:
     p_train = sub.add_parser("train")
     _add_train_args(p_train)
     p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("eval")
+    _add_train_args(p_eval)  # same preset/data/platform surface as train
+    p_eval.set_defaults(fn=cmd_eval)
 
     p_gen = sub.add_parser("generate")
     p_gen.add_argument("--task", choices=["darcy", "ns"], required=True)

@@ -33,6 +33,70 @@ def evaluate_darcy(model, params, x: np.ndarray, y: np.ndarray, batch_size: int 
     return total / n
 
 
+def evaluate_ns2d(
+    model, params, a: np.ndarray, u: np.ndarray, t_f: int, batch_size: int = 8
+) -> Dict[str, float]:
+    """Autoregressive rollout metrics on an (a, u) split — the same per-step
+    and full-trajectory rel-L2 the NS-2D trainer reports (ns_train_2d.py
+    :74-110, :155-157 semantics via train.ns2d.make_rollout)."""
+    from uno_tpu.train.ns2d import make_rollout
+
+    rollout = make_rollout(model, t_f)
+
+    @jax.jit
+    def eval_step(params, xx, yy):
+        loss, pred = rollout(params, xx, yy)
+        traj = relative_lp_loss(pred, yy, reduction="sum")
+        return loss, traj
+
+    n = len(a)
+    step_total = traj_total = 0.0
+    for i in range(0, n, batch_size):
+        l, t = eval_step(
+            params, jnp.asarray(a[i : i + batch_size]),
+            jnp.asarray(u[i : i + batch_size]),
+        )
+        step_total += float(l)
+        traj_total += float(t)
+    return {
+        "step_rel_l2": step_total / n / t_f,
+        "traj_rel_l2": traj_total / n,
+    }
+
+
+def evaluate_ns3d(
+    model, params, a: np.ndarray, u: np.ndarray, t_f: int, batch_size: int = 8
+) -> Dict[str, float]:
+    """Spatiotemporal one-shot forecast metrics: full-field rel-L2 (the
+    training/selection loss, ns_train_3d.py:64-65) and mean per-timestep
+    rel-L2 (the reference's logged step loss, :56-62)."""
+
+    @jax.jit
+    def eval_step(params, x, y):
+        b, s = x.shape[0], x.shape[1]
+        out = model.apply(params, x[..., None]).reshape(b, s, s, t_f)
+        full = relative_lp_loss(out, y, reduction="sum")
+        step_losses = jax.vmap(
+            lambda o, t: relative_lp_loss(o, t, reduction="sum"),
+            in_axes=(-1, -1),
+        )(out, y)
+        return full, jnp.sum(step_losses)
+
+    n = len(a)
+    full_total = step_total = 0.0
+    for i in range(0, n, batch_size):
+        f, sl = eval_step(
+            params, jnp.asarray(a[i : i + batch_size]),
+            jnp.asarray(u[i : i + batch_size]),
+        )
+        full_total += float(f)
+        step_total += float(sl)
+    return {
+        "field_rel_l2": full_total / n,
+        "step_rel_l2": step_total / (n * t_f),
+    }
+
+
 def evaluate_superres(
     model,
     params,
