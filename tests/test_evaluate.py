@@ -93,3 +93,17 @@ def test_cli_eval_after_train(tmp_path):
     assert rec["task"] == "darcy"
     assert 0.0 < rec["val_rel_l2"] < 10.0
     assert 0.0 < rec["test_rel_l2"] < 10.0
+
+    # predict writes arrays whose rel-L2 reproduces eval's test metric
+    out = str(tmp_path / "pred.npz")
+    assert main(["predict", *common, "--out", out]) == 0
+    z = np.load(out)
+    assert z["pred"].shape == z["target"].shape == (4, 85, 85)
+    rel = np.mean([
+        np.linalg.norm(z["pred"][i] - z["target"][i])
+        / np.linalg.norm(z["target"][i])
+        for i in range(4)
+    ])
+    assert np.isclose(rel, rec["test_rel_l2"], rtol=1e-4), (
+        rel, rec["test_rel_l2"]
+    )

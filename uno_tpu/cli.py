@@ -445,6 +445,73 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Batch inference: run a trained checkpoint over a split's inputs and
+    write (input, pred, target) arrays to an npz — the serving-style
+    counterpart of ``eval`` (which only reports metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.configs.presets import get_preset
+    from uno_tpu.models import build_model
+    from uno_tpu.train.checkpoint import CheckpointManager
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    if not args.checkpoint_dir:
+        raise SystemExit("predict requires --checkpoint-dir")
+    preset = _build_cfg(get_preset(args.preset), args)
+    model = build_model(preset.model, dtype=args.dtype, **preset.model_kwargs)
+    data = _load_task_data(preset, args)
+    split = {"train": 0, "val": 2, "test": 4}[args.split]
+    a, u = data[split], data[split + 1]
+
+    sample = jnp.asarray(data[0][:1])
+    if preset.task == "ns3d":
+        sample = sample[..., None]
+    template = jax.jit(model.init)(jax.random.PRNGKey(preset.train.seed), sample)
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    if not ckpt.exists("best_params"):
+        raise SystemExit(f"no best_params checkpoint under {args.checkpoint_dir}")
+    params = ckpt.restore("best_params", template)
+
+    if preset.task == "darcy":
+        s = u.shape[1]
+        fwd = jax.jit(
+            lambda p, xb: model.apply(p, xb).reshape(xb.shape[0], s, s)
+        )
+    elif preset.task == "ns2d":
+        from uno_tpu.train.ns2d import make_rollout
+
+        rollout = make_rollout(model, preset.t_f)
+
+        def fwd(p, xb):
+            # rollout needs targets only for the loss; feed zeros
+            _, pred = rollout(p, xb, jnp.zeros(xb.shape[:3] + (preset.t_f,)))
+            return pred
+
+        fwd = jax.jit(fwd)
+    else:
+        s = u.shape[1]
+        fwd = jax.jit(
+            lambda p, xb: model.apply(p, xb[..., None]).reshape(
+                xb.shape[0], s, s, preset.t_f
+            )
+        )
+
+    bs = preset.train.batch_size
+    preds = [
+        np.asarray(fwd(params, jnp.asarray(a[i : i + bs])))
+        for i in range(0, len(a), bs)
+    ]
+    pred = np.concatenate(preds) if preds else np.zeros((0,))
+    np.savez(args.out, input=a, pred=pred, target=u)
+    print(f"wrote {args.out}: pred {pred.shape} ({args.split} split)")
+    return 0
+
+
 def cmd_generate(args) -> int:
     import jax
     import scipy.io
@@ -500,6 +567,13 @@ def main(argv=None) -> int:
     p_eval = sub.add_parser("eval")
     _add_train_args(p_eval)  # same preset/data/platform surface as train
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_pred = sub.add_parser("predict")
+    _add_train_args(p_pred)
+    p_pred.add_argument("--out", required=True, help="output npz path")
+    p_pred.add_argument("--split", default="test",
+                        choices=["train", "val", "test"])
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_gen = sub.add_parser("generate")
     p_gen.add_argument("--task", choices=["darcy", "ns"], required=True)

@@ -195,6 +195,57 @@ class DataPlacer:
 
 
 
+class GracefulStop:
+    """Preemption-safe shutdown: on SIGTERM/SIGINT, finish the current epoch,
+    checkpoint, and return early (the reference loses everything but the
+    last best-val state_dict on preemption, train_darcy.py:81-83; TPU pods
+    are routinely preempted, so this is first-class here).
+
+    Install with ``with GracefulStop() as stop:`` around the epoch loop and
+    poll ``stop.requested`` at epoch boundaries.  Previous handlers are
+    restored on exit; a second signal falls through to them (so a double
+    Ctrl-C still kills a run immediately).
+    """
+
+    SIGNALS = ("SIGTERM", "SIGINT")
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        import signal
+
+        self.requested = True
+        # restore previous disposition: next signal is not swallowed
+        signal.signal(signum, self._prev.get(signum, signal.SIG_DFL))
+
+    def __enter__(self):
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self  # handlers only installable from the main thread
+        for name in self.SIGNALS:
+            sig = getattr(signal, name)
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):  # non-main interpreter contexts
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._prev.items():
+            try:
+                if signal.getsignal(sig) == self._handler:
+                    signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        return False
+
+
 class BestTracker:
     """Reference best-val selection: save params whenever val improves."""
 

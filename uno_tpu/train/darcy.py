@@ -25,6 +25,7 @@ from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
+    GracefulStop,
     TrainConfig,
     lr_at,
     make_optimizer,
@@ -107,6 +108,9 @@ def train_darcy(
             count += len(idx)
         return total / max(count, 1)
 
+    stop = GracefulStop().__enter__()  # restored after the loop; on an
+    # exception the handler self-restores at the first delivered signal
+    stopped = False
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         train_l2 = 0.0
@@ -142,13 +146,27 @@ def train_darcy(
                 "train_state",
                 {"state": state, "epoch": epoch, "best_val": best.best_val},
             )
+        if stop.requested:
+            if ckpt is not None:
+                ckpt.save(
+                    "train_state",
+                    {"state": state, "epoch": epoch, "best_val": best.best_val},
+                )
+            logger.log({"task": "darcy", "stopped_early_after_epoch": epoch})
+            stopped = True
+            break
+    stop.__exit__()
 
     final_params = best.best_params if best.best_params is not None else state.params
-    test_l2 = _eval(final_params, 4, 5, ntest) if ntest else float("nan")
-    logger.log({"task": "darcy", "test_rel_l2": test_l2})
+    test_l2 = (
+        _eval(final_params, 4, 5, ntest) if ntest and not stopped else float("nan")
+    )
+    if not stopped:
+        logger.log({"task": "darcy", "test_rel_l2": test_l2})
     return {
         "params": final_params,
         "state": state,
         "best_val": best.best_val,
         "test_rel_l2": test_l2,
+        "stopped_early": stopped,
     }

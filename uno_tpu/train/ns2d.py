@@ -31,6 +31,7 @@ from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
+    GracefulStop,
     TrainConfig,
     lr_at,
     make_optimizer,
@@ -143,6 +144,8 @@ def train_ns2d(
         count = max(count, 1)
         return step_total / count / t_f, traj_total / count
 
+    stop = GracefulStop().__enter__()  # restored after the loop
+    stopped = False
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         train_loss = 0.0
@@ -178,19 +181,34 @@ def train_ns2d(
                 "train_state",
                 {"state": state, "epoch": epoch, "best_val": best.best_val},
             )
+        if stop.requested:
+            if ckpt is not None:
+                ckpt.save(
+                    "train_state",
+                    {"state": state, "epoch": epoch, "best_val": best.best_val},
+                )
+            logger.log({"task": "ns2d", "stopped_early_after_epoch": epoch})
+            stopped = True
+            break
+    stop.__exit__()
 
     final_params = best.best_params if best.best_params is not None else state.params
-    if ntest:
+    if ntest and not stopped:
         test_step, test_traj = _eval(final_params, 4, 5, ntest)
+        logger.log(
+            {
+                "task": "ns2d",
+                "test_step_rel_l2": test_step,
+                "test_traj_rel_l2": test_traj,
+            }
+        )
     else:
         test_step = test_traj = float("nan")
-    logger.log(
-        {"task": "ns2d", "test_step_rel_l2": test_step, "test_traj_rel_l2": test_traj}
-    )
     return {
         "params": final_params,
         "state": state,
         "best_val": best.best_val,
         "test_step_rel_l2": test_step,
         "test_traj_rel_l2": test_traj,
+        "stopped_early": stopped,
     }

@@ -24,6 +24,7 @@ from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
+    GracefulStop,
     TrainConfig,
     lr_at,
     make_optimizer,
@@ -129,6 +130,8 @@ def train_ns3d(
         count = max(count, 1)
         return full_total / count, step_total / (count * t_f)
 
+    stop = GracefulStop().__enter__()  # restored after the loop
+    stopped = False
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         train_step_l2 = 0.0
@@ -164,19 +167,34 @@ def train_ns3d(
                 "train_state",
                 {"state": state, "epoch": epoch, "best_val": best.best_val},
             )
+        if stop.requested:
+            if ckpt is not None:
+                ckpt.save(
+                    "train_state",
+                    {"state": state, "epoch": epoch, "best_val": best.best_val},
+                )
+            logger.log({"task": "ns3d", "stopped_early_after_epoch": epoch})
+            stopped = True
+            break
+    stop.__exit__()
 
     final_params = best.best_params if best.best_params is not None else state.params
-    if ntest:
+    if ntest and not stopped:
         test_full, test_step = _eval(final_params, 4, 5, ntest)
+        logger.log(
+            {
+                "task": "ns3d",
+                "test_full_rel_l2": test_full,
+                "test_step_rel_l2": test_step,
+            }
+        )
     else:
         test_full = test_step = float("nan")
-    logger.log(
-        {"task": "ns3d", "test_full_rel_l2": test_full, "test_step_rel_l2": test_step}
-    )
     return {
         "params": final_params,
         "state": state,
         "best_val": best.best_val,
         "test_full_rel_l2": test_full,
         "test_step_rel_l2": test_step,
+        "stopped_early": stopped,
     }
