@@ -107,3 +107,15 @@ def test_cli_eval_after_train(tmp_path):
     assert np.isclose(rel, rec["test_rel_l2"], rtol=1e-4), (
         rel, rec["test_rel_l2"]
     )
+
+    # export the same checkpoint and check the artifact serves identically
+    art = str(tmp_path / "m.stablehlo")
+    assert main([
+        "export", *common, "--out", art, "--serve-batch", "4",
+    ]) == 0
+    from uno_tpu.export import load_forward
+
+    served = np.asarray(load_forward(art)(z["input"].astype(np.float32)))
+    assert np.allclose(
+        served.reshape(4, 85, 85), z["pred"], rtol=1e-5, atol=1e-5
+    )

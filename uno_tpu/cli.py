@@ -512,6 +512,54 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """AOT-export a trained checkpoint's forward pass as a self-contained
+    StableHLO serving artifact (uno_tpu/export.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.configs.presets import get_preset
+    from uno_tpu.export import export_forward
+    from uno_tpu.models import build_model
+    from uno_tpu.train.checkpoint import CheckpointManager
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    if not args.checkpoint_dir:
+        raise SystemExit("export requires --checkpoint-dir")
+    preset = _build_cfg(get_preset(args.preset), args)
+    model = build_model(preset.model, dtype=args.dtype, **preset.model_kwargs)
+
+    s = args.size or preset.size
+    if preset.task == "darcy":
+        s = int((421 - 1) / preset.sub) + 1 if args.size is None else s
+        sample = jnp.zeros((args.serve_batch, s, s, 1), jnp.float32)
+    elif preset.task == "ns2d":
+        sample = jnp.zeros((args.serve_batch, s, s, preset.t_in), jnp.float32)
+    else:
+        sample = jnp.zeros(
+            (args.serve_batch, s, s, preset.t_in, 1), jnp.float32
+        )
+    template = jax.jit(model.init)(jax.random.PRNGKey(preset.train.seed), sample)
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    if not ckpt.exists("best_params"):
+        raise SystemExit(f"no best_params checkpoint under {args.checkpoint_dir}")
+    params = ckpt.restore("best_params", template)
+
+    data = export_forward(
+        model, params, sample, path=args.out,
+        platforms=args.platforms.split(",") if args.platforms else None,
+    )
+    print(
+        f"wrote {args.out}: {len(data)/1e6:.1f} MB StableHLO artifact for "
+        f"input {tuple(sample.shape)}"
+        + (f" platforms={args.platforms}" if args.platforms else "")
+    )
+    return 0
+
+
 def cmd_generate(args) -> int:
     import jax
     import scipy.io
@@ -574,6 +622,16 @@ def main(argv=None) -> int:
     p_pred.add_argument("--split", default="test",
                         choices=["train", "val", "test"])
     p_pred.set_defaults(fn=cmd_predict)
+
+    p_exp = sub.add_parser("export")
+    _add_train_args(p_exp)
+    p_exp.add_argument("--out", required=True, help="artifact output path")
+    p_exp.add_argument("--serve-batch", type=int, default=1,
+                       help="batch size baked into the serving artifact")
+    p_exp.add_argument("--platforms", default=None,
+                       help="comma-separated lowering targets (e.g. "
+                            "'tpu,cpu'); default = exporting host's")
+    p_exp.set_defaults(fn=cmd_export)
 
     p_gen = sub.add_parser("generate")
     p_gen.add_argument("--task", choices=["darcy", "ns"], required=True)
