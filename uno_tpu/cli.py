@@ -379,37 +379,34 @@ def cmd_train(args) -> int:
     return 0
 
 
-def cmd_eval(args) -> int:
-    """Evaluate a trained checkpoint's best-val params on the preset's
-    val and test splits (the reference only evaluates inside training,
-    train_darcy.py:86-100; a standalone eval is net-new surface)."""
-    import json
-
+def _checkpoint_setup(args):
+    """Shared eval/predict/export plumbing: platform config, preset/model
+    build, and best-params restore (template-driven so complex leaves
+    decode through the (re, im)-safe path)."""
     import jax
-    import jax.numpy as jnp
 
     from uno_tpu.configs.presets import get_preset
     from uno_tpu.models import build_model
-    from uno_tpu.train.checkpoint import CheckpointManager
-    from uno_tpu.train.evaluate import (
-        evaluate_darcy,
-        evaluate_ns2d,
-        evaluate_ns3d,
-    )
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
         if args.cpu_devices:
             jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     if not args.checkpoint_dir:
-        raise SystemExit("eval requires --checkpoint-dir")
+        raise SystemExit(f"{args.cmd} requires --checkpoint-dir")
     preset = _build_cfg(get_preset(args.preset), args)
     model = build_model(preset.model, dtype=args.dtype, **preset.model_kwargs)
-    data = _load_task_data(preset, args)
-    _, _, val_a, val_u, test_a, test_u = data
+    return preset, model
 
-    sample = jnp.asarray(data[0][:1])
-    if preset.task == "ns3d":
+
+def _restore_best_params(args, preset, model, sample):
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.train.checkpoint import CheckpointManager
+
+    sample = jnp.asarray(sample)
+    if preset.task == "ns3d" and sample.ndim == 4:
         sample = sample[..., None]
     template = jax.jit(model.init)(jax.random.PRNGKey(preset.train.seed), sample)
     ckpt = CheckpointManager(args.checkpoint_dir)
@@ -419,7 +416,25 @@ def cmd_eval(args) -> int:
             "was the run trained with --checkpoint-dir and at least one "
             "validation pass?"
         )
-    params = ckpt.restore("best_params", template)
+    return ckpt.restore("best_params", template)
+
+
+def cmd_eval(args) -> int:
+    """Evaluate a trained checkpoint's best-val params on the preset's
+    val and test splits (the reference only evaluates inside training,
+    train_darcy.py:86-100; a standalone eval is net-new surface)."""
+    import json
+
+    from uno_tpu.train.evaluate import (
+        evaluate_darcy,
+        evaluate_ns2d,
+        evaluate_ns3d,
+    )
+
+    preset, model = _checkpoint_setup(args)
+    data = _load_task_data(preset, args)
+    _, _, val_a, val_u, test_a, test_u = data
+    params = _restore_best_params(args, preset, model, data[0][:1])
 
     bs = preset.train.batch_size
     out = {"task": preset.task, "preset": preset.name,
@@ -452,30 +467,11 @@ def cmd_predict(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from uno_tpu.configs.presets import get_preset
-    from uno_tpu.models import build_model
-    from uno_tpu.train.checkpoint import CheckpointManager
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-        if args.cpu_devices:
-            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
-    if not args.checkpoint_dir:
-        raise SystemExit("predict requires --checkpoint-dir")
-    preset = _build_cfg(get_preset(args.preset), args)
-    model = build_model(preset.model, dtype=args.dtype, **preset.model_kwargs)
+    preset, model = _checkpoint_setup(args)
     data = _load_task_data(preset, args)
     split = {"train": 0, "val": 2, "test": 4}[args.split]
     a, u = data[split], data[split + 1]
-
-    sample = jnp.asarray(data[0][:1])
-    if preset.task == "ns3d":
-        sample = sample[..., None]
-    template = jax.jit(model.init)(jax.random.PRNGKey(preset.train.seed), sample)
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    if not ckpt.exists("best_params"):
-        raise SystemExit(f"no best_params checkpoint under {args.checkpoint_dir}")
-    params = ckpt.restore("best_params", template)
+    params = _restore_best_params(args, preset, model, data[0][:1])
 
     if preset.task == "darcy":
         s = u.shape[1]
@@ -515,23 +511,11 @@ def cmd_predict(args) -> int:
 def cmd_export(args) -> int:
     """AOT-export a trained checkpoint's forward pass as a self-contained
     StableHLO serving artifact (uno_tpu/export.py)."""
-    import jax
     import jax.numpy as jnp
 
-    from uno_tpu.configs.presets import get_preset
     from uno_tpu.export import export_forward
-    from uno_tpu.models import build_model
-    from uno_tpu.train.checkpoint import CheckpointManager
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-        if args.cpu_devices:
-            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
-    if not args.checkpoint_dir:
-        raise SystemExit("export requires --checkpoint-dir")
-    preset = _build_cfg(get_preset(args.preset), args)
-    model = build_model(preset.model, dtype=args.dtype, **preset.model_kwargs)
-
+    preset, model = _checkpoint_setup(args)
     s = args.size or preset.size
     if preset.task == "darcy":
         s = int((421 - 1) / preset.sub) + 1 if args.size is None else s
@@ -542,11 +526,7 @@ def cmd_export(args) -> int:
         sample = jnp.zeros(
             (args.serve_batch, s, s, preset.t_in, 1), jnp.float32
         )
-    template = jax.jit(model.init)(jax.random.PRNGKey(preset.train.seed), sample)
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    if not ckpt.exists("best_params"):
-        raise SystemExit(f"no best_params checkpoint under {args.checkpoint_dir}")
-    params = ckpt.restore("best_params", template)
+    params = _restore_best_params(args, preset, model, sample)
 
     data = export_forward(
         model, params, sample, path=args.out,
