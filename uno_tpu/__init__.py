@@ -31,6 +31,10 @@ def __getattr__(name):
         import uno_tpu.train as t
 
         return getattr(t, name)
+    if name in ("export_forward", "load_forward"):
+        import uno_tpu.export as e
+
+        return getattr(e, name)
     if name == "relative_lp_loss":
         from uno_tpu.losses import relative_lp_loss
 

@@ -1,7 +1,12 @@
 from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import BestTracker, TrainConfig, make_optimizer
 from uno_tpu.train.darcy import train_darcy
-from uno_tpu.train.evaluate import evaluate_darcy, evaluate_superres
+from uno_tpu.train.evaluate import (
+    evaluate_darcy,
+    evaluate_ns2d,
+    evaluate_ns3d,
+    evaluate_superres,
+)
 from uno_tpu.train.metrics import MetricLogger
 from uno_tpu.train.ns2d import make_rollout, train_ns2d
 from uno_tpu.train.ns3d import train_ns3d
@@ -14,6 +19,8 @@ __all__ = [
     "make_optimizer",
     "train_darcy",
     "evaluate_darcy",
+    "evaluate_ns2d",
+    "evaluate_ns3d",
     "evaluate_superres",
     "MetricLogger",
     "make_rollout",
