@@ -7,6 +7,8 @@ them WITHOUT any retraining — the discretization-invariance claim of U-NO
 (BASELINE.md "zero-shot super-resolution eval at 2x grid").
 
     python examples/ns2d_superres_eval.py runs/ns2d_quality [--size 128]
+    python examples/ns2d_superres_eval.py runs/ns2d_s256_q \
+        --preset ns2d_s256 --size 512 --n 4 --batch 2   # 256^2 -> 512^2
 """
 
 import argparse
@@ -18,6 +20,8 @@ import numpy as np
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("checkpoint_dir")
+    ap.add_argument("--preset", default="ns2d",
+                    help="preset naming the trained model family")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--t-in", type=int, default=10)
@@ -35,7 +39,10 @@ def main() -> int:
     from uno_tpu.train.checkpoint import CheckpointManager
     from uno_tpu.train.ns2d import make_rollout
 
-    model = build_model("uno", in_width=14, width=32, pad=0)
+    from uno_tpu.configs.presets import get_preset
+
+    preset = get_preset(args.preset)
+    model = build_model(preset.model, **preset.model_kwargs)
 
     # template init at the NEW resolution; weights transplanted from the
     # checkpoint (spectral weights are resolution-independent)
@@ -78,7 +85,7 @@ def main() -> int:
         done += k
 
     print(
-        f"zero-shot @ {s}x{s} (trained at 64x64): "
+        f"zero-shot @ {s}x{s} (trained at {preset.size}x{preset.size}): "
         f"per-step rel-L2 {step_total / count / args.t_f:.4f}, "
         f"trajectory rel-L2 {traj_total / count:.4f}  (n={count})"
     )
