@@ -51,6 +51,35 @@ def lr_at(cfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
     return cfg.learning_rate * cfg.scheduler_gamma ** (epoch // eff)
 
 
+def _acc_add(a, b):
+    return a + b
+
+
+_acc_add = jax.jit(_acc_add)
+
+
+class DeviceAccumulator:
+    """Sum per-step device scalars without per-step host reads.
+
+    ``float(loss)`` after every train step forces a blocking device->host
+    round trip — on the relay runtime that read is the only sync point, so
+    it serializes host dispatch with device compute and dominated epoch
+    walltime (e.g. Darcy S=211: ~8 s/epoch against ~1.4 s of device work).
+    Chaining the sums through a tiny jitted add keeps the whole epoch's
+    dispatch queue asynchronous; ``total()`` at epoch end is the single
+    blocking read (and doubles as the epoch's sync fence for timing).
+    """
+
+    def __init__(self):
+        self._total = None
+
+    def add(self, x) -> None:
+        self._total = x if self._total is None else _acc_add(self._total, x)
+
+    def total(self) -> float:
+        return 0.0 if self._total is None else float(self._total)
+
+
 def _padded_nbytes(shape, itemsize) -> int:
     """Estimate a buffer's device footprint under TPU (8, 128) tiling.
 

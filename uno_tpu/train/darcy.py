@@ -25,6 +25,7 @@ from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
+    DeviceAccumulator,
     GracefulStop,
     TrainConfig,
     lr_at,
@@ -98,30 +99,30 @@ def train_darcy(
         best.best_val = float(restored["best_val"])
 
     def _eval(params, ix, iy, n) -> float:
-        total = 0.0
+        total = DeviceAccumulator()
         count = 0
         for xb, yb, idx in data.batches(
             ix, iy,
             epoch_batches(rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop),
         ):
-            total += float(eval_loss(params, xb, yb))
+            total.add(eval_loss(params, xb, yb))
             count += len(idx)
-        return total / max(count, 1)
+        return total.total() / max(count, 1)
 
     stop = GracefulStop().__enter__()  # restored after the loop; on an
     # exception the handler self-restores at the first delivered signal
     stopped = False
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        train_l2 = 0.0
+        acc = DeviceAccumulator()
         seen = 0
         for xb, yb, idx in data.batches(
             0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
         ):
             state, loss = train_step(state, xb, yb)
-            train_l2 += float(loss)
+            acc.add(loss)
             seen += len(idx)
-        train_l2 /= max(seen, 1)
+        train_l2 = acc.total() / max(seen, 1)
 
         val_l2 = _eval(state.params, 2, 3, nval)
         dt = time.perf_counter() - t0

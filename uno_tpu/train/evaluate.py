@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uno_tpu.losses import relative_lp_loss
+from uno_tpu.train.common import DeviceAccumulator
 
 
 def evaluate_darcy(model, params, x: np.ndarray, y: np.ndarray, batch_size: int = 8) -> float:
@@ -22,15 +23,16 @@ def evaluate_darcy(model, params, x: np.ndarray, y: np.ndarray, batch_size: int 
     n = len(x)
     s = y.shape[1]
     fn = jax.jit(
-        lambda p, xb: model.apply(p, xb).reshape(xb.shape[0], s, s)
+        lambda p, xb, yb: relative_lp_loss(
+            model.apply(p, xb).reshape(xb.shape[0], s, s), yb, reduction="sum"
+        )
     )
-    total = 0.0
+    total = DeviceAccumulator()
     for i in range(0, n, batch_size):
         xb = jnp.asarray(x[i : i + batch_size])
         yb = jnp.asarray(y[i : i + batch_size])
-        out = fn(params, xb)
-        total += float(relative_lp_loss(out, yb, reduction="sum"))
-    return total / n
+        total.add(fn(params, xb, yb))
+    return total.total() / n
 
 
 def evaluate_ns2d(
@@ -50,17 +52,17 @@ def evaluate_ns2d(
         return loss, traj
 
     n = len(a)
-    step_total = traj_total = 0.0
+    step_total, traj_total = DeviceAccumulator(), DeviceAccumulator()
     for i in range(0, n, batch_size):
         l, t = eval_step(
             params, jnp.asarray(a[i : i + batch_size]),
             jnp.asarray(u[i : i + batch_size]),
         )
-        step_total += float(l)
-        traj_total += float(t)
+        step_total.add(l)
+        traj_total.add(t)
     return {
-        "step_rel_l2": step_total / n / t_f,
-        "traj_rel_l2": traj_total / n,
+        "step_rel_l2": step_total.total() / n / t_f,
+        "traj_rel_l2": traj_total.total() / n,
     }
 
 
@@ -83,17 +85,17 @@ def evaluate_ns3d(
         return full, jnp.sum(step_losses)
 
     n = len(a)
-    full_total = step_total = 0.0
+    full_total, step_total = DeviceAccumulator(), DeviceAccumulator()
     for i in range(0, n, batch_size):
         f, sl = eval_step(
             params, jnp.asarray(a[i : i + batch_size]),
             jnp.asarray(u[i : i + batch_size]),
         )
-        full_total += float(f)
-        step_total += float(sl)
+        full_total.add(f)
+        step_total.add(sl)
     return {
-        "field_rel_l2": full_total / n,
-        "step_rel_l2": step_total / (n * t_f),
+        "field_rel_l2": full_total.total() / n,
+        "step_rel_l2": step_total.total() / (n * t_f),
     }
 
 

@@ -31,6 +31,7 @@ from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
+    DeviceAccumulator,
     GracefulStop,
     TrainConfig,
     lr_at,
@@ -132,31 +133,32 @@ def train_ns2d(
         best.best_val = float(restored["best_val"])
 
     def _eval(params, ix, iy, n):
-        step_total, traj_total, count = 0.0, 0.0, 0
+        step_total, traj_total = DeviceAccumulator(), DeviceAccumulator()
+        count = 0
         for xb, yb, idx in data.batches(
             ix, iy,
             epoch_batches(rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop),
         ):
             l, t = eval_step(params, xb, yb)
-            step_total += float(l)
-            traj_total += float(t)
+            step_total.add(l)
+            traj_total.add(t)
             count += len(idx)
         count = max(count, 1)
-        return step_total / count / t_f, traj_total / count
+        return step_total.total() / count / t_f, traj_total.total() / count
 
     stop = GracefulStop().__enter__()  # restored after the loop
     stopped = False
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        train_loss = 0.0
+        acc = DeviceAccumulator()
         seen = 0
         for xb, yb, idx in data.batches(
             0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
         ):
             state, loss = train_step(state, xb, yb)
-            train_loss += float(loss)
+            acc.add(loss)
             seen += len(idx)
-        train_loss = train_loss / max(seen, 1) / t_f
+        train_loss = acc.total() / max(seen, 1) / t_f
         dt = time.perf_counter() - t0
 
         record = {

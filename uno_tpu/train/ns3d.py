@@ -24,6 +24,7 @@ from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
     DataPlacer,
+    DeviceAccumulator,
     GracefulStop,
     TrainConfig,
     lr_at,
@@ -118,31 +119,32 @@ def train_ns3d(
         best.best_val = float(restored["best_val"])
 
     def _eval(params, ix, iy, n):
-        full_total, step_total, count = 0.0, 0.0, 0
+        full_total, step_total = DeviceAccumulator(), DeviceAccumulator()
+        count = 0
         for xb, yb, idx in data.batches(
             ix, iy,
             epoch_batches(rng, n, cfg.batch_size, shuffle=False, drop_remainder=drop),
         ):
             f, sl = eval_step(params, xb, yb)
-            full_total += float(f)
-            step_total += float(sl)
+            full_total.add(f)
+            step_total.add(sl)
             count += len(idx)
         count = max(count, 1)
-        return full_total / count, step_total / (count * t_f)
+        return full_total.total() / count, step_total.total() / (count * t_f)
 
     stop = GracefulStop().__enter__()  # restored after the loop
     stopped = False
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        train_step_l2 = 0.0
+        acc = DeviceAccumulator()
         seen = 0
         for xb, yb, idx in data.batches(
             0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
         ):
             state, loss, step_loss = train_step(state, xb, yb)
-            train_step_l2 += float(step_loss)
+            acc.add(step_loss)
             seen += len(idx)
-        train_step_l2 /= max(seen, 1) * t_f
+        train_step_l2 = acc.total() / (max(seen, 1) * t_f)
         dt = time.perf_counter() - t0
 
         record = {
