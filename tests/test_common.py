@@ -29,3 +29,17 @@ def test_compat_even_epoch_scheduler_doubles_step_size():
     # the configs build transforms without error
     assert make_optimizer(base, spe) is not None
     assert make_optimizer(compat, spe) is not None
+
+
+def test_device_accumulator_matches_host_sum():
+    """Per-step device accumulation (the async-epoch path, no per-step d2h)
+    must equal the old host-side float() sum."""
+    from uno_tpu.train.common import DeviceAccumulator
+
+    vals = np.asarray([0.5, 1.25, -2.0, 3.75], np.float32)
+    acc = DeviceAccumulator()
+    for v in vals:
+        acc.add(jnp.asarray(v))
+    np.testing.assert_allclose(acc.total(), vals.sum(), rtol=1e-7)
+    # empty accumulator reads as 0.0 (e.g. an eval split with no batches)
+    assert DeviceAccumulator().total() == 0.0
