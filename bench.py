@@ -151,6 +151,45 @@ def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
     }
 
 
+def bench_infer(dtype="bfloat16", batch: int = 16, iters: int = 30,
+                tag: str = ""):
+    """Serving throughput: forward-only UNO_9 at the Darcy S=211 config.
+
+    The training benches measure fwd+bwd+Adam; deployment serves the
+    forward pass alone (cli export / load_forward path).  Measured on the
+    jitted apply — the same computation jax.export stages out — so this is
+    the inference number a serving stack built on export.py sees.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from uno_tpu.models import build_model
+
+    S, WIDTH, PAD = 211, 32, 12
+    model = build_model("uno9", in_width=3, width=WIDTH, pad=PAD, dtype=dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, S, S, 1)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    mean = jax.jit(lambda o: jnp.mean(jnp.asarray(o, jnp.float32)))
+    for _ in range(WARMUP):
+        out = fwd(params, x)
+    assert np.isfinite(float(mean(out)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    _ = float(mean(out))  # d2h fence (block_until_ready is a relay no-op)
+    dt = (time.perf_counter() - t0) / iters
+    fwd_flops = darcy_model_flops(batch, S, WIDTH, PAD)
+    return {
+        "config": tag or f"darcy_s211_uno9_infer_b{batch}_{dtype}",
+        "ms_per_batch": round(dt * 1000, 2),
+        "samples_per_sec_per_chip": round(batch / dt, 2),
+        "achieved_tflops": round(fwd_flops / dt / 1e12, 2),
+    }
+
+
 def bench_width_scaling(widths=(64, 128)):
     """MFU vs model width at the Darcy S=211 config (w=32 is the headline
     entry).  Separates "the framework is slow" from "this model is small":
@@ -465,6 +504,8 @@ def main(full: bool = True) -> None:
         _record(bench_ns2d(dtype="bfloat16", tag="ns2d_uno_Tf40_bptt_bf16"))
         _record(bench_ns3d())
         _record(bench_ns3d(dtype="bfloat16", tag="ns3d_uno3d_t40_bf16"))
+        _record(bench_infer())
+        _record(bench_infer(batch=64, tag="darcy_s211_uno9_infer_b64_bfloat16"))
         _record(bench_darcy_dp_cpu())
 
     sps = darcy["samples_per_sec_per_chip"]
