@@ -157,8 +157,11 @@ def bench_infer(dtype="bfloat16", batch: int = 16, iters: int = 30,
 
     The training benches measure fwd+bwd+Adam; deployment serves the
     forward pass alone (cli export / load_forward path).  Measured on the
-    jitted apply — the same computation jax.export stages out — so this is
-    the inference number a serving stack built on export.py sees.
+    jitted apply — the same computation jax.export stages out.  Session
+    caveat (recorded in the result): params are non-donated, and this
+    runtime's relay re-streams non-donated operands per call, so the
+    number includes per-call weight-transfer overhead a real deployment
+    with device-resident weights would not pay (CLAUDE.md; ADVICE r3).
     """
     import jax
     import jax.numpy as jnp
@@ -171,14 +174,23 @@ def bench_infer(dtype="bfloat16", batch: int = 16, iters: int = 30,
     x = jnp.asarray(rng.standard_normal((batch, S, S, 1)), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    # Each iteration perturbs the input by a function of the previous
+    # output, so the final d2h read transitively fences EVERY call — on
+    # this runtime independent dispatches could otherwise overlap and
+    # under-measure (ADVICE r3; block_until_ready is a relay no-op).
+    @jax.jit
+    def step(p, x, out):
+        x = x + 0.0 * jnp.mean(jnp.asarray(out, jnp.float32))
+        return x, model.apply(p, x)
+
     mean = jax.jit(lambda o: jnp.mean(jnp.asarray(o, jnp.float32)))
+    out = jnp.zeros(())
     for _ in range(WARMUP):
-        out = fwd(params, x)
+        x, out = step(params, x, out)
     assert np.isfinite(float(mean(out)))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(params, x)
+        x, out = step(params, x, out)
     _ = float(mean(out))  # d2h fence (block_until_ready is a relay no-op)
     dt = (time.perf_counter() - t0) / iters
     fwd_flops = darcy_model_flops(batch, S, WIDTH, PAD)
@@ -187,6 +199,9 @@ def bench_infer(dtype="bfloat16", batch: int = 16, iters: int = 30,
         "ms_per_batch": round(dt * 1000, 2),
         "samples_per_sec_per_chip": round(batch / dt, 2),
         "achieved_tflops": round(fwd_flops / dt / 1e12, 2),
+        "note": "includes per-call relay streaming of non-donated params "
+                "(~session overhead); resident-weight serving would be "
+                "faster",
     }
 
 

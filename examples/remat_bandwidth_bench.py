@@ -74,7 +74,7 @@ def bench(remat: bool, dtype, iters: int) -> dict:
         "remat_blocks": remat,
         "dtype": str(dtype or "float32"),
         "ms_per_step": round(dt * 1000, 2),
-        "samples_per_sec": round(16 / dt, 1),
+        "samples_per_sec": round(BATCH / dt, 1),
     }
 
 
@@ -82,12 +82,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
-    rows = []
     for dtype in (None, "bfloat16"):
         for remat in (False, True):
-            r = bench(remat, dtype, args.iters)
-            rows.append(r)
-            print(json.dumps(r))
+            print(json.dumps(bench(remat, dtype, args.iters)))
 
 
 if __name__ == "__main__":

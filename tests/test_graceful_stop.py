@@ -78,3 +78,29 @@ def test_graceful_stop_second_signal_not_swallowed():
         # first delivery restored the previous handler (pytest's default
         # KeyboardInterrupt raiser) rather than keeping on swallowing
         assert signal.getsignal(signal.SIGINT) != stop._handler
+
+
+class _RaiseAtEpoch(MetricLogger):
+    """Raises inside the epoch loop — the trainer's with-block must restore
+    the signal handlers even on the exception path (VERDICT r3 weak #4)."""
+
+    def __init__(self, at=1):
+        self.at = at
+
+    def log(self, record):
+        if record.get("epoch") == self.at:
+            raise RuntimeError("mid-epoch failure")
+
+
+def test_exception_mid_epoch_restores_handlers():
+    import pytest
+
+    model = build_model("uno9", in_width=3, width=8, pad=1)
+    x, y = _darcy_data(8, 85)
+    cfg = TrainConfig(epochs=3, batch_size=8, weight_decay=0.0)
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    with pytest.raises(RuntimeError, match="mid-epoch failure"):
+        train_darcy(model, x, y, x, y, x, y, cfg, logger=_RaiseAtEpoch(at=1))
+    assert signal.getsignal(signal.SIGTERM) == prev_term
+    assert signal.getsignal(signal.SIGINT) == prev_int

@@ -154,3 +154,58 @@ def test_weight_init_stats():
     # complex variance ~= scale^2 (re/im each scale^2/2)
     var = np.var(np.asarray(w).real) + np.var(np.asarray(w).imag)
     np.testing.assert_allclose(var, scale**2, rtol=0.05)
+
+
+# --- custom-VJP parity (round 4) -------------------------------------------
+# The DFT path's backward is hand-written (ops/spectral.py _dft_conv*_bwd:
+# mirrored transposed dots instead of autodiff; kills ~0.8 ms/step of
+# cotangent layout copies on TPU).  These tests pin value + input-grad +
+# complex-weight-grad parity against the autodiff FFT path — including the
+# complex cotangent convention (JAX = conj of torch; optim.py relies on it).
+
+from uno_tpu.ops.spectral import set_dft_mode  # noqa: E402
+
+
+def _grad_parity(fn, x, w, args):
+    f = lambda x, w: jnp.sum(jnp.square(fn(x, w, *args)))
+    set_dft_mode(False)
+    y0 = fn(x, w, *args)
+    g0 = jax.grad(f, argnums=(0, 1))(x, w)
+    set_dft_mode(True)
+    try:
+        y1 = fn(x, w, *args)
+        g1 = jax.grad(f, argnums=(0, 1))(x, w)
+    finally:
+        set_dft_mode(None)
+    rel = lambda a, b: np.linalg.norm(np.asarray(a - b)) / max(
+        np.linalg.norm(np.asarray(a)), 1e-30
+    )
+    assert rel(y0, y1) < 5e-6
+    assert rel(g0[0], g1[0]) < 5e-6
+    assert rel(g0[1], g1[1]) < 5e-6
+
+
+@pytest.mark.parametrize("d1,m1", [(48, 9), (24, 9)])
+def test_custom_vjp_1d(d1, m1):
+    x = jnp.asarray(RNG.standard_normal((2, 4, 32)), jnp.float32)
+    w = jnp.asarray(0.3 * _rand_c(1, 4, 5, m1))
+    _grad_parity(spectral_conv_1d, x, w, (d1, m1))
+
+
+@pytest.mark.parametrize(
+    "out,m", [((32, 32), (7, 8)), ((12, 16), (7, 8))]  # incl. 2*m1 > d1
+)
+def test_custom_vjp_2d(out, m):
+    x = jnp.asarray(RNG.standard_normal((2, 4, 24, 24)), jnp.float32)
+    w = jnp.asarray(0.3 * _rand_c(2, 4, 5, *m))
+    _grad_parity(spectral_conv_2d, x, w, (out, m))
+
+
+@pytest.mark.parametrize(
+    "out,m",
+    [((16, 16, 12), (5, 5, 4)), ((8, 8, 10), (5, 5, 4))],  # incl. overlap
+)
+def test_custom_vjp_3d(out, m):
+    x = jnp.asarray(RNG.standard_normal((2, 3, 12, 12, 10)), jnp.float32)
+    w = jnp.asarray(0.3 * _rand_c(4, 3, 4, *m))
+    _grad_parity(spectral_conv_3d, x, w, (out, m))

@@ -202,10 +202,17 @@ class UNOModel(nn.Module):
                 cur = cur[..., c_lo:]
 
         # --- projection -----------------------------------------------------
+        # fc1/fc2 matmuls follow the compute dtype (bf16 operands, f32
+        # accumulation — their inputs are already bf16 from the U-stack, so
+        # an f32 projection only added full-resolution conversion traffic:
+        # ~2 ms/step at S=211, round-4 profile).  The *output* is cast to
+        # f32 so the loss and its cotangent stay f32 regardless of policy.
         y = jnp.moveaxis(cur, 1, -1)
-        y = gelu(Dense(spec.proj_hidden, name="fc1")(y))
+        y = gelu(Dense(spec.proj_hidden, dtype=cdt, name="fc1")(y))
         if spec.proj_concat_lift:
             # UNO_P / UNO_S256 concat the lift activations into the projection
             # (navier_stokes_uno2d.py:124, :323)
-            y = jnp.concatenate([y, h], axis=-1)
-        return Dense(spec.out_dim, name="fc2")(y)
+            y = jnp.concatenate([y, h.astype(cdt)], axis=-1)
+        return Dense(spec.out_dim, dtype=cdt, name="fc2")(y).astype(
+            jnp.float32
+        )

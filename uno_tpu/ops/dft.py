@@ -218,6 +218,81 @@ def inv_real(
     return _dot(x, _inv_real_T(m, n_out, scaled), ein)
 
 
+# --- VJP transposes ---------------------------------------------------------
+# Each forward transform is one dot against a constant table, so its vector-
+# Jacobian transpose is again ONE dot against the SAME table with the
+# contraction flipped.  The custom spectral-conv VJP (ops/spectral.py) uses
+# these instead of letting autodiff transpose the einsums: XLA's transposed
+# dots arrived in mismatched layouts and spent ~0.8 ms/step re-copying
+# cotangents (round-4 profile, 'data formatting' rows at dft.py:142).
+
+
+def t_fwd_real(
+    g: Array, axis: int, n: int, idx: Sequence[int], scaled: bool = True
+) -> Array:
+    """Transpose of ``fwd_real``: packed cotangent (plane axis at 2, bins at
+    ``axis``) -> real cotangent with the transformed axis restored to length
+    ``n``.  One dot_general."""
+    ax = axis % g.ndim
+    letters = list(_L[: g.ndim])
+    letters[PLANE_AXIS] = "u"
+    letters[ax] = "z"
+    out = [
+        ("j" if i == ax else l)
+        for i, l in enumerate(letters)
+        if i != PLANE_AXIS
+    ]
+    ein = f"{''.join(letters)},juz->{''.join(out)}"
+    return _dot(g, _fwd_real_T(n, tuple(idx), scaled), ein)
+
+
+def t_fwd_cplx(
+    g: Array, axis: int, n: int, idx: Sequence[int], scaled: bool = True
+) -> Array:
+    """Transpose of ``fwd_cplx`` along ``axis``.  One dot_general."""
+    ax = axis % g.ndim
+    letters = list(_L[: g.ndim])
+    letters[PLANE_AXIS] = "v"
+    letters[ax] = "z"
+    out = list(letters)
+    out[PLANE_AXIS] = "u"
+    out[ax] = "j"
+    ein = f"{''.join(letters)},ujvz->{''.join(out)}"
+    return _dot(g, _fwd_cplx_T(n, tuple(idx), scaled), ein)
+
+
+def t_inv_cplx(
+    g: Array, axis: int, n: int, idx: Sequence[int], scaled: bool = False
+) -> Array:
+    """Transpose of ``inv_cplx``: cotangent with full axis ``n`` -> cotangent
+    at the ``len(idx)`` kept bins.  One dot_general."""
+    ax = axis % g.ndim
+    letters = list(_L[: g.ndim])
+    letters[PLANE_AXIS] = "v"
+    letters[ax] = "z"
+    out = list(letters)
+    out[PLANE_AXIS] = "u"
+    out[ax] = "k"
+    ein = f"{''.join(letters)},ukvz->{''.join(out)}"
+    return _dot(g, _inv_cplx_T(n, tuple(idx), scaled), ein)
+
+
+def t_inv_real(
+    g: Array, axis: int, m: int, n_out: int, scaled: bool = False
+) -> Array:
+    """Transpose of ``inv_real``: real cotangent (axis length ``n_out``) ->
+    packed cotangent at the ``m`` leading half-spectrum bins (plane axis
+    gained at position 2).  One dot_general."""
+    ax = axis % g.ndim
+    letters = list(_L[: g.ndim])
+    letters[ax] = "z"
+    out = list(letters)
+    out[ax] = "k"
+    out = out[:PLANE_AXIS] + ["u"] + out[PLANE_AXIS:]
+    ein = f"{''.join(letters)},ukz->{''.join(out)}"
+    return _dot(g, _inv_real_T(m, n_out, scaled), ein)
+
+
 def pack(re: Array, im: Array) -> Array:
     """Stack (re, im) planes into the packed layout (plane axis at 2)."""
     return jnp.stack([re, im], axis=PLANE_AXIS)

