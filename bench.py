@@ -91,7 +91,8 @@ def darcy_model_flops(batch, s, width, pad):
 
 
 def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
-                dtype=None, fused_adam: bool = False):
+                dtype=None, fused_adam: bool = False, pad_to=None,
+                resident: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +102,9 @@ def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
     from uno_tpu.train.state import TrainState, apply_updates
 
     BATCH, S, WIDTH, PAD = 16, 211, width, 12
-    model = build_model("uno9", in_width=3, width=WIDTH, pad=PAD, dtype=dtype)
+    model = build_model(
+        "uno9", in_width=3, width=WIDTH, pad=PAD, dtype=dtype, pad_to=pad_to
+    )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, S, S, 1)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((BATCH, S, S)), jnp.float32)
@@ -130,11 +133,58 @@ def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
             loss,
         )
 
-    for _ in range(WARMUP):
-        state, loss = train_step(state, x, y)
-    assert np.isfinite(float(loss)), loss
+    if resident:
+        # The trainer's real data path: the dataset lives in HBM and the
+        # batch gather happens INSIDE the jitted step, with the dataset
+        # donated-and-returned (aliased) — so per call only the index
+        # vector crosses the host boundary.  This both matches
+        # train/common.py's DataPlacer semantics and avoids this relay's
+        # re-streaming of non-donated operands (CLAUDE.md): the plain
+        # bench pays ~batch-size h2d per call that neither a real TPU nor
+        # the actual training loop pays.
+        N_DS = 64
+        dsx = jnp.asarray(
+            rng.standard_normal((N_DS, S, S, 1)), jnp.float32
+        )
+        dsy = jnp.asarray(rng.standard_normal((N_DS, S, S)), jnp.float32)
 
-    sec_per_step, state = _time_steps(train_step, state, [(x, y)], iters)
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step_r(state, dsx, dsy, idx):
+            x = jnp.take(dsx, idx, axis=0)
+            y = jnp.take(dsy, idx, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            return (
+                TrainState(
+                    params=apply_updates(state.params, updates),
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                ),
+                dsx,
+                dsy,
+                loss,
+            )
+
+        idx_rng = np.random.default_rng(1)
+        idxs = [
+            jnp.asarray(idx_rng.integers(0, N_DS, BATCH), jnp.int32)
+            for _ in range(8)
+        ]
+        for i in range(WARMUP):
+            state, dsx, dsy, loss = train_step_r(state, dsx, dsy, idxs[i % 8])
+        assert np.isfinite(float(loss)), loss
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, dsx, dsy, loss = train_step_r(state, dsx, dsy, idxs[i % 8])
+        lv = float(loss)  # d2h read = the only reliable fence (CLAUDE.md)
+        sec_per_step = (time.perf_counter() - t0) / iters
+        assert np.isfinite(lv), lv
+    else:
+        for _ in range(WARMUP):
+            state, loss = train_step(state, x, y)
+        assert np.isfinite(float(loss)), loss
+
+        sec_per_step, state = _time_steps(train_step, state, [(x, y)], iters)
     sps = BATCH / sec_per_step
     fwd_flops = darcy_model_flops(BATCH, S, WIDTH, PAD)
     step_flops = 3 * fwd_flops  # fwd + ~2x bwd
@@ -291,7 +341,7 @@ def bench_spectral_roofline():
     return out
 
 
-def bench_ns2d(t_f=40, dtype=None, tag=""):
+def bench_ns2d(t_f=40, dtype=None, tag="", iters: int = 20):
     """NS-2D autoregressive rollout train step (ns_uno2d_main.py:26-107)."""
     import jax
     import jax.numpy as jnp
@@ -334,7 +384,7 @@ def bench_ns2d(t_f=40, dtype=None, tag=""):
     for _ in range(WARMUP):
         state, loss = train_step(state, xx, yy)
     assert np.isfinite(float(loss)), loss
-    sec_per_step, state = _time_steps(train_step, state, [(xx, yy)], 20)
+    sec_per_step, state = _time_steps(train_step, state, [(xx, yy)], iters)
     return {
         "config": tag or f"ns2d_uno_Tf{t_f}_bptt (ns_uno2d_main.py:26-107)",
         "ms_per_step": round(sec_per_step * 1000, 2),
@@ -343,7 +393,7 @@ def bench_ns2d(t_f=40, dtype=None, tag=""):
     }
 
 
-def bench_ns3d(dtype=None, tag=""):
+def bench_ns3d(dtype=None, tag="", iters: int = 20):
     """NS-3D Uno3D_T40 spatiotemporal train step (ns_uno3d_main.py:33-123)."""
     import jax
     import jax.numpy as jnp
@@ -388,7 +438,7 @@ def bench_ns3d(dtype=None, tag=""):
     for _ in range(WARMUP):
         state, loss = train_step(state, x, y)
     assert np.isfinite(float(loss)), loss
-    sec_per_step, state = _time_steps(train_step, state, [(x, y)], 20)
+    sec_per_step, state = _time_steps(train_step, state, [(x, y)], iters)
     return {
         "config": tag or "ns3d_uno3d_t40 (ns_uno3d_main.py:33-123)",
         "ms_per_step": round(sec_per_step * 1000, 2),

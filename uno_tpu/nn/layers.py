@@ -67,18 +67,30 @@ class Dense(nn.Module):
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (x.shape[-1], self.features)
         )
+        # bf16 on TPU: emit bf16 straight from the dot (the MXU still
+        # accumulates f32 internally; only the final rounding moves).  The
+        # old preferred=f32 + astype wrote a full-resolution f32
+        # intermediate to HBM and re-read it in a separate bias/cast pass —
+        # ~0.7 ms/step at the Darcy S=211 headline (round-4 profile,
+        # layers.py:80 'loop fusion' rows).  CPU keeps f32-out + cast
+        # (DotThunk layout limits); same single-rounding math.
+        out_t = (
+            self.dtype
+            if self.dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+            else jnp.float32
+        )
         y = jax.lax.dot_general(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=out_t,
+        ).astype(self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", _torch_bias_init(x.shape[-1]), (self.features,)
             )
-            y = y + bias
-        return y.astype(self.dtype)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 def gelu(x: Array) -> Array:
@@ -243,11 +255,23 @@ class PointwiseOp(nn.Module):
         )
         bias_gain = (n_in / n_out) if self.ndim == 3 else 1.0
         if resize_first < conv_first:
+            # encoder: resize at in-channels, conv at the small out grid;
+            # bias lands after the conv (constant-preserving resamples make
+            # it exact; the 3D truncation's backward norm scales constants
+            # by N_in/N_out, so the bias picks up exactly that DC gain).
             y = conv(do_resize(x))
-        else:
-            y = do_resize(conv(x))
-        b = (bias * bias_gain).astype(y.dtype)
-        return y + b.reshape((1, -1) + (1,) * self.ndim)
+            b = (bias * bias_gain).astype(y.dtype)
+            return y + b.reshape((1, -1) + (1,) * self.ndim)
+        # decoder: conv first — add the bias at the SMALL pre-resize grid
+        # and let the constant-preserving resample carry it (for 3D, the
+        # truncation multiplies constants by the same N_in/N_out gain the
+        # explicit bias_gain would apply): same math, ~4x fewer bias-pass
+        # bytes than adding it at the upsampled grid (round-4 profile,
+        # layers.py:250 'loop fusion' rows).
+        y = conv(x)
+        return do_resize(y + bias.astype(y.dtype).reshape(
+            (1, -1) + (1,) * self.ndim
+        ))
 
 
 class OperatorBlock(nn.Module):

@@ -44,10 +44,34 @@ _FILTER_SUPPORT = {"linear": 2, "cubic": 4, "nearest": 1}
 _L = "abcdefgh"
 
 
+def _mm(x: Array, wm: Array, ein: str) -> Array:
+    """Resample einsum with the mixed-precision policy of ops/dft.py:_dot:
+    bf16 activations keep bf16 operands/outputs (f32 accumulation) instead
+    of promoting against the f32 table — under the bf16 policy a promoted
+    f32 resample output doubled the W-path bytes AND de-bf16'd the whole
+    block epilogue behind it (k+w, norm, gelu ran f32 — round-4 profile)."""
+    if x.dtype == jnp.bfloat16:
+        wb = jnp.asarray(wm).astype(jnp.bfloat16)
+        if jax.default_backend() == "cpu":
+            # XLA CPU's DotThunk can't run bf16xbf16->f32 in this layout
+            # (same fallback as nn.layers.PointwiseOp): identical math —
+            # bf16-rounded operands, f32 accumulation — phrased as an f32
+            # dot.  The bf16 branch below is what the TPU step runs.
+            y = jnp.einsum(ein, x.astype(jnp.float32), wb.astype(jnp.float32))
+            return y.astype(jnp.bfloat16)
+        y = jnp.einsum(
+            ein, x, wb,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(jnp.bfloat16)
+    return jnp.einsum(ein, x, wm)
+
+
 def _axis_mm_impl(x: Array, wm: Array, ax: int) -> Array:
     lhs = _L[: x.ndim]
     out = lhs[:ax] + "z" + lhs[ax + 1 :]
-    return jnp.einsum(f"{lhs},z{lhs[ax]}->{out}", x, wm)
+    return _mm(x, wm, f"{lhs},z{lhs[ax]}->{out}")
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -70,7 +94,7 @@ def _axis_mm_bwd(ax, res, g):
     n_in, wm = res
     lhs = _L[: g.ndim]
     out = lhs[:ax] + "z" + lhs[ax + 1 :]
-    gx = jnp.einsum(f"{lhs},{lhs[ax]}z->{out}", g, wm)
+    gx = _mm(g, wm, f"{lhs},{lhs[ax]}z->{out}")
     return gx, jnp.zeros_like(wm)
 
 
