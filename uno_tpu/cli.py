@@ -342,6 +342,13 @@ def cmd_train(args) -> int:
     # single-host); must happen before any backend/mesh use
     initialize_from_env()
     preset = _build_cfg(get_preset(args.preset), args)
+    if args.spatial > 1:
+        # the Pallas fused projection head is a custom call GSPMD cannot
+        # partition over the spatial axes — fall back to the Dense path
+        # under domain decomposition (ops/pallas/mlp_head.py)
+        from uno_tpu.ops.pallas.mlp_head import set_fused_head_mode
+
+        set_fused_head_mode(False)
     model = build_model(
         preset.model, dtype=args.dtype, **preset.model_kwargs
     )

@@ -207,6 +207,37 @@ class UNOModel(nn.Module):
         # an f32 projection only added full-resolution conversion traffic:
         # ~2 ms/step at S=211, round-4 profile).  The *output* is cast to
         # f32 so the loss and its cotangent stay f32 regardless of policy.
+        from uno_tpu.ops.pallas.mlp_head import (
+            fused_head_enabled,
+            fused_head_interpret,
+            fused_mlp_head,
+        )
+
+        if (
+            nd == 2
+            and not spec.proj_concat_lift
+            and cdt == jnp.bfloat16
+            and fused_head_enabled()
+        ):
+            # Pallas fused head: fc1+gelu+fc2 in one kernel that never
+            # materialises the [B, S1, S2, proj_hidden] hidden activation
+            # in HBM (~550 MB/step of traffic at the Darcy S=211 headline;
+            # the backward recomputes it tile-wise — see ops/pallas/
+            # mlp_head.py).  Consumes the channels-first U-stack output
+            # directly; same params/init as the Dense path below.
+            k1, b1 = Dense(
+                spec.proj_hidden, dtype=cdt, name="fc1"
+            ).materialize(cur.shape[1])
+            k2, b2 = Dense(
+                spec.out_dim, dtype=cdt, name="fc2"
+            ).materialize(spec.proj_hidden)
+            out = fused_mlp_head(
+                cur.astype(jnp.bfloat16), k1, b1, k2, b2,
+                fused_head_interpret(),
+            )
+            # [B, O, S1, S2] -> [B, S1, S2, O] (free for O=1)
+            return jnp.moveaxis(out, 1, -1)
+
         y = jnp.moveaxis(cur, 1, -1)
         y = gelu(Dense(spec.proj_hidden, dtype=cdt, name="fc1")(y))
         if spec.proj_concat_lift:

@@ -92,6 +92,16 @@ class Dense(nn.Module):
             y = y + bias.astype(self.dtype)
         return y
 
+    def materialize(self, in_features: int):
+        """Fetch this layer's params without applying it — used by fused
+        kernels (ops/pallas/mlp_head) that consume fc1+fc2 params directly.
+        Params are created through a dummy ``__call__`` (XLA removes the
+        unused dot), so names/shapes/init — and therefore checkpoints and
+        param trees — are identical to the unfused path."""
+        self(jnp.zeros((1, in_features), jnp.float32))
+        p = self.variables["params"]
+        return p["kernel"], (p["bias"] if self.use_bias else None)
+
 
 def gelu(x: Array) -> Array:
     """torch F.gelu default = exact erf form (NOT the tanh approximation)."""
