@@ -586,34 +586,39 @@ def main(full: bool = True) -> None:
     )
 
 
-# Perf regression guard (VERDICT r2 #8): pinned round-3 step times for the
-# DFT-path Darcy train step on the session TPU v5e, with a generous band
-# for relay jitter.  A refactor that silently loses the partial-DFT or
-# bf16 wins trips this (FFT path regression would be ~2x; the round-2 bf16
-# conversion bug was ~1.7x).
+# Perf regression guard (VERDICT r2 #8, widened to every family per
+# VERDICT r3 #8): pinned round-4 step times on the session TPU v5e, with
+# a generous band for relay jitter.  A refactor that silently loses the
+# partial-DFT, bf16, custom-VJP or fused-head wins trips this (FFT-path
+# regression would be ~2x; the round-2 bf16 conversion bug was ~1.7x).
 GUARD_LIMITS_MS = {
-    "bfloat16": 15.0 * 1.30,
-    "float32": 24.2 * 1.30,
+    # name: (bench thunk, pinned round-4 ms/step)
+    "darcy_bf16": (lambda: bench_darcy(dtype="bfloat16", iters=20,
+                                       tag="guard_darcy_bf16"), 13.3),
+    "darcy_f32": (lambda: bench_darcy(iters=20, tag="guard_darcy_f32"), 23.3),
+    "ns2d_bf16": (lambda: bench_ns2d(dtype="bfloat16", iters=6,
+                                     tag="guard_ns2d_bf16"), 212.0),
+    "ns3d_bf16": (lambda: bench_ns3d(dtype="bfloat16", iters=6,
+                                     tag="guard_ns3d_bf16"), 134.0),
 }
+GUARD_BAND = 1.30
 
 
 def guard() -> int:
-    """Run the Darcy headline configs and fail on step-time regression."""
+    """Run the pinned configs across every family and fail on step-time
+    regression (band = pinned * 1.30 for relay jitter)."""
     import jax
 
     if jax.default_backend() not in ("tpu", "axon"):
         print("guard: requires the TPU backend, got", jax.default_backend())
         return 2
     rc = 0
-    for dtype, limit in GUARD_LIMITS_MS.items():
-        r = bench_darcy(
-            dtype=None if dtype == "float32" else dtype,
-            iters=20,
-            tag=f"guard_{dtype}",
-        )
+    for name, (thunk, pinned) in GUARD_LIMITS_MS.items():
+        r = thunk()
+        limit = pinned * GUARD_BAND
         ok = r["ms_per_step"] <= limit
         print(json.dumps({
-            "guard": dtype,
+            "guard": name,
             "ms_per_step": r["ms_per_step"],
             "limit_ms": round(limit, 1),
             "ok": ok,

@@ -15,12 +15,16 @@ gelu(fc1) tile-by-tile in VMEM and writes only the O-channel output; the
 backward (custom VJP) *recomputes* the hidden tile from x — a bandwidth-
 for-FLOPs trade that is free here because the dots are thin and the step
 is HBM-bound (PERF.md).  Weight gradients accumulate in VMEM across the
-sequential TPU grid and are written once.
+sequential TPU grid and are written once.  gelu runs in f32 inside the
+kernel — one rounding *fewer* than the unfused bf16 Dense path, which is
+what restores the f32-head quality the all-bf16 head lost (RESULTS.md
+round-4 probe table).
 
-Layout: channels-first [B, C, S1, S2] (the U-stack's native activation
-layout — S2 rides the 128-lane axis, C the sublanes), so no transpose is
-needed at the kernel boundary.  Only the last S1 tile is masked (S1=211 is
-not a multiple of the tile); masking x and g to zero there makes every
+Layout: the spatial grid is flattened to the 128-lane axis — blocks are
+[C, LBLK] slices of channels-first [B, C, S1*S2], so every dot in the
+kernel is a plain 2D ``tpu.matmul`` (Mosaic has no multi-dim contraction)
+and no transpose is needed at the kernel boundary.  The final partial
+lane block is masked; masking x and g to zero there makes every
 accumulated quantity exact.
 """
 
@@ -42,29 +46,48 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def _erf_f32(x):
+    """erf to |abs err| <= 1.5e-7 (Abramowitz & Stegun 7.1.26).
+
+    Neither ``erf`` nor ``erfc`` has a Pallas TPU lowering on this jax, so
+    the exact-erf gelu (CLAUDE.md invariant) is computed from this minimax
+    form — its error is ~2 ulp of f32 erf, far below the bf16 activation
+    quantisation around it (the interpret-mode parity tests in
+    tests/test_fused_head.py compare against jax.nn.gelu exact)."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_f32(z):
     # exact erf form — parity with ops/layers.gelu (torch F.gelu default)
-    return jax.nn.gelu(z, approximate=False)
+    return 0.5 * z * (1.0 + _erf_f32(z * (1.0 / jnp.sqrt(2.0))))
 
 
 def _dgelu_f32(z):
     # d/dz [z * Phi(z)] = Phi(z) + z * phi(z)
     phi = jnp.exp(-0.5 * z * z) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
-    cdf = 0.5 * (1.0 + jax.lax.erf(z * (1.0 / jnp.sqrt(2.0))))
+    cdf = 0.5 * (1.0 + _erf_f32(z * (1.0 / jnp.sqrt(2.0))))
     return cdf + z * phi
 
 
-def _pick_slab(s1: int, s2: int, hidden: int, bwd: bool) -> int:
-    """Largest S1 tile keeping the f32 hidden tiles inside a VMEM budget
-    (forward holds one [H, slab, S2] f32 tile; backward holds two)."""
+def _pick_lblk(n: int, hidden: int, bwd: bool) -> int:
+    """Largest lane block keeping the f32 hidden tiles inside a VMEM
+    budget (forward holds one [H, LBLK] f32 tile; backward ~two)."""
     budget = 6 * 1024 * 1024
-    per_row = hidden * s2 * 4 * (2 if bwd else 1)
-    slab = max(8, min(64, (budget // per_row) // 8 * 8))
-    return min(slab, s1)
+    per_lane = hidden * 4 * (2 if bwd else 1)
+    lblk = max(512, min(8192, (budget // per_lane) // 128 * 128))
+    if n <= lblk:
+        return max(128, -(-n // 128) * 128)  # single padded block
+    return lblk
 
 
-def _fwd_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, out_ref, *, f32_dots):
-    x = x_ref[0]  # [C, slab, S2] bf16
+def _fwd_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, out_ref, *,
+                f32_dots):
+    x = x_ref[0]  # [C, LBLK] bf16
     k1 = k1_ref[:]  # [C, H]
     if f32_dots:
         x = x.astype(jnp.float32)
@@ -72,22 +95,29 @@ def _fwd_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, out_ref, *, f32_dots):
     z = jax.lax.dot_general(
         k1, x, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [H, slab, S2] f32
-    z = z + b1_ref[:].astype(jnp.float32)[:, :, None]
+    )  # [H, LBLK] f32
+    z = z + b1_ref[:].astype(jnp.float32)
     a = _gelu_f32(z)
-    k2 = k2_ref[:]  # [H, O]
+    k2 = k2_ref[:].astype(jnp.float32)  # [H, O]
     if not f32_dots:
-        a = a.astype(jnp.bfloat16)
-    out = jax.lax.dot_general(
-        k2.astype(a.dtype), a, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [O, slab, S2] f32
-    out_ref[0] = out + b2_ref[:].astype(jnp.float32)[:, :, None]
+        # bf16-rounded operands, f32 accumulation — same math as a bf16
+        # dot.  The O axis is tiny (out_dim 1-3), so the contraction is
+        # a VPU broadcast-multiply + sublane reduce per output channel
+        # (Mosaic's tpu.matmul rejects these degenerate shapes).
+        a = a.astype(jnp.bfloat16).astype(jnp.float32)
+        k2 = k2.astype(jnp.bfloat16).astype(jnp.float32)
+    o_dim = k2.shape[1]
+    outs = [
+        jnp.sum(a * k2[:, o:o + 1], axis=0, keepdims=True)
+        for o in range(o_dim)
+    ]
+    out = outs[0] if o_dim == 1 else jnp.concatenate(outs, axis=0)
+    out_ref[0] = out + b2_ref[:].astype(jnp.float32)
 
 
 def _bwd_kernel(x_ref, g_ref, k1_ref, b1_ref, k2_ref,
                 gx_ref, gk1_ref, gb1_ref, gk2_ref, gb2_ref,
-                *, s1, slab, f32_dots):
+                *, n, lblk, f32_dots):
     b, t = pl.program_id(0), pl.program_id(1)
     first = jnp.logical_and(b == 0, t == 0)
 
@@ -98,13 +128,13 @@ def _bwd_kernel(x_ref, g_ref, k1_ref, b1_ref, k2_ref,
         gk2_ref[:] = jnp.zeros(gk2_ref.shape, gk2_ref.dtype)
         gb2_ref[:] = jnp.zeros(gb2_ref.shape, gb2_ref.dtype)
 
-    # mask garbage rows of the final partial S1 tile (everything downstream
-    # of the masked x/g is then exact, including the VMEM accumulators)
-    valid = s1 - t * slab  # > slab except on the last tile
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, slab, 1), 1)
-    mask = rows < valid
-    x = jnp.where(mask, x_ref[0], jnp.zeros_like(x_ref[0]))  # [C, slab, S2]
-    g = jnp.where(mask, g_ref[0], jnp.zeros_like(g_ref[0]))  # [O, slab, S2]
+    # mask the garbage lanes of the final partial block (everything
+    # downstream of the masked x/g is then exact, incl. the accumulators)
+    valid = n - t * lblk  # > lblk except on the last block
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, lblk), 1)
+    mask = lanes < valid
+    x = jnp.where(mask, x_ref[0], jnp.zeros(x_ref[0].shape, x_ref.dtype))
+    g = jnp.where(mask, g_ref[0], jnp.zeros(g_ref[0].shape, g_ref.dtype))
 
     k1 = k1_ref[:]  # [C, H]
     k2 = k2_ref[:]  # [H, O]
@@ -116,39 +146,46 @@ def _bwd_kernel(x_ref, g_ref, k1_ref, b1_ref, k2_ref,
     z = jax.lax.dot_general(
         k1.astype(x.dtype), x, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + b1_ref[:].astype(jnp.float32)[:, :, None]  # [H, slab, S2] f32
+    ) + b1_ref[:].astype(jnp.float32)  # [H, LBLK] f32
 
-    # dz = (k2 · g) * gelu'(z)
-    dz = jax.lax.dot_general(
-        k2.astype(jnp.float32), g, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * _dgelu_f32(z)  # [H, slab, S2] f32
+    # dz = (k2 . g) * gelu'(z); O is tiny -> outer products on the VPU
+    # (Mosaic's tpu.matmul rejects size-1 contractions)
+    k2f = k2.astype(jnp.float32)
+    o_dim = k2f.shape[1]
+    gf = g.astype(jnp.float32)
+    dz_pre = k2f[:, 0:1] * gf[0:1, :]
+    for o in range(1, o_dim):
+        dz_pre = dz_pre + k2f[:, o:o + 1] * gf[o:o + 1, :]
+    dz = dz_pre * _dgelu_f32(z)  # [H, LBLK] f32
     dz_lo = dz.astype(lo)
 
     # input gradient: gx[c] = sum_h k1[c,h] dz[h]
     gx = jax.lax.dot_general(
         k1.astype(lo), dz_lo, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # [C, LBLK]
     gx_ref[0] = gx.astype(gx_ref.dtype)
 
     # weight/bias gradients, accumulated over the sequential grid
     gk1_ref[:] += jax.lax.dot_general(
-        x, dz_lo, (((1, 2), (1, 2)), ((), ())),
+        x, dz_lo, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [C, H]
-    gb1_ref[:] += jnp.sum(dz, axis=(1, 2))[None]  # [1, H]
-    a_lo = _gelu_f32(z).astype(lo)
-    gk2_ref[:] += jax.lax.dot_general(
-        a_lo, g.astype(lo), (((1, 2), (1, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H, O]
-    gb2_ref[:] += jnp.sum(g, axis=(1, 2))[None]  # [1, O]
+    gb1_ref[:] += jnp.sum(dz, axis=1, keepdims=True)  # [H, 1]
+    # gk2[h,o] = sum_l a[h,l] g[o,l] — O tiny, VPU multiply + lane reduce
+    a_f = _gelu_f32(z).astype(lo).astype(jnp.float32)
+    g_f = g.astype(lo).astype(jnp.float32)
+    cols = [
+        jnp.sum(a_f * g_f[o:o + 1, :], axis=1, keepdims=True)
+        for o in range(o_dim)
+    ]
+    gk2_ref[:] += cols[0] if o_dim == 1 else jnp.concatenate(cols, axis=1)
+    gb2_ref[:] += jnp.sum(gf, axis=1, keepdims=True)  # [O, 1]
 
 
-def _specs(bsz, blk_c, slab, s2):
+def _xspec(blk_c, lblk):
     return pl.BlockSpec(
-        (1, blk_c, slab, s2), lambda b, t: (b, 0, t, 0),
+        (1, blk_c, lblk), lambda b, t: (b, 0, t),
         memory_space=pltpu.VMEM if _HAS_PLTPU else None,
     )
 
@@ -162,77 +199,72 @@ def _wspec(shape):
 
 
 def _fwd_call(x, k1, b1, k2, b2, *, interpret=False):
-    bsz, c, s1, s2 = x.shape
+    bsz, c, n = x.shape
     h = k1.shape[1]
     o = k2.shape[1]
-    slab = _pick_slab(s1, s2, h, bwd=False)
-    grid = (bsz, pl.cdiv(s1, slab))
+    lblk = _pick_lblk(n, h, bwd=False)
+    grid = (bsz, pl.cdiv(n, lblk))
     f32_dots = bool(interpret)
     kb = jnp.bfloat16 if not f32_dots else jnp.float32
     return pl.pallas_call(
         functools.partial(_fwd_kernel, f32_dots=f32_dots),
         grid=grid,
         in_specs=[
-            _specs(bsz, c, slab, s2),
+            _xspec(c, lblk),
             _wspec((c, h)), _wspec((h, 1)), _wspec((h, o)), _wspec((o, 1)),
         ],
-        out_specs=_specs(bsz, o, slab, s2),
-        out_shape=jax.ShapeDtypeStruct((bsz, o, s1, s2), jnp.float32),
+        out_specs=_xspec(o, lblk),
+        out_shape=jax.ShapeDtypeStruct((bsz, o, n), jnp.float32),
         interpret=interpret,
     )(x, k1.astype(kb), b1.astype(jnp.float32).reshape(h, 1),
       k2.astype(kb), b2.astype(jnp.float32).reshape(o, 1))
 
 
 def _bwd_call(x, g, k1, b1, k2, *, interpret=False):
-    bsz, c, s1, s2 = x.shape
+    bsz, c, n = x.shape
     h = k1.shape[1]
     o = k2.shape[1]
-    slab = _pick_slab(s1, s2, h, bwd=True)
-    grid = (bsz, pl.cdiv(s1, slab))
+    lblk = _pick_lblk(n, h, bwd=True)
+    grid = (bsz, pl.cdiv(n, lblk))
     f32_dots = bool(interpret)
     kb = jnp.bfloat16 if not f32_dots else jnp.float32
     gx, gk1, gb1, gk2, gb2 = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, s1=s1, slab=slab, f32_dots=f32_dots
+            _bwd_kernel, n=n, lblk=lblk, f32_dots=f32_dots
         ),
         grid=grid,
         in_specs=[
-            _specs(bsz, c, slab, s2),
-            _specs(bsz, o, slab, s2),
+            _xspec(c, lblk),
+            _xspec(o, lblk),
             _wspec((c, h)), _wspec((h, 1)), _wspec((h, o)),
         ],
         out_specs=[
-            _specs(bsz, c, slab, s2),
-            _wspec((c, h)), _wspec((1, h)), _wspec((h, o)), _wspec((1, o)),
+            _xspec(c, lblk),
+            _wspec((c, h)), _wspec((h, 1)), _wspec((h, o)), _wspec((o, 1)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, c, s1, s2), x.dtype),
+            jax.ShapeDtypeStruct((bsz, c, n), x.dtype),
             jax.ShapeDtypeStruct((c, h), jnp.float32),
-            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1), jnp.float32),
             jax.ShapeDtypeStruct((h, o), jnp.float32),
-            jax.ShapeDtypeStruct((1, o), jnp.float32),
+            jax.ShapeDtypeStruct((o, 1), jnp.float32),
         ],
         interpret=interpret,
     )(x, g, k1.astype(kb), b1.astype(jnp.float32).reshape(h, 1),
       k2.astype(kb))
-    return gx, gk1, gb1[0], gk2, gb2[0]
+    return gx, gk1, gb1[:, 0], gk2, gb2[:, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_mlp_head(x, k1, b1, k2, b2, interpret=False):
-    """``fc2(gelu(fc1(x)))`` over channels-first ``[B, C, S1, S2]``.
-
-    x is bf16 (the U-stack's mixed-precision activations); k/b are the f32
-    Dense params (``kernel`` layout [in, out] as in nn/layers.Dense); the
-    result is f32 ``[B, O, S1, S2]``.  Matmul math matches the unfused
-    Dense path: bf16 operands, f32 accumulation, exact-erf gelu (computed
-    in f32 here — one rounding *fewer* than the unfused bf16 path).
-    """
+def _fused_mlp_head_flat(x, k1, b1, k2, b2, interpret=False):
     return _fwd_call(x, k1, b1, k2, b2, interpret=interpret)
 
 
 def _fused_fwd(x, k1, b1, k2, b2, interpret):
-    return _fwd_call(x, k1, b1, k2, b2, interpret=interpret), (x, k1, b1, k2)
+    return (
+        _fwd_call(x, k1, b1, k2, b2, interpret=interpret),
+        (x, k1, b1, k2),
+    )
 
 
 def _fused_bwd(interpret, res, g):
@@ -243,7 +275,29 @@ def _fused_bwd(interpret, res, g):
     return gx, gk1, gb1, gk2, gb2
 
 
-fused_mlp_head.defvjp(_fused_fwd, _fused_bwd)
+_fused_mlp_head_flat.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_mlp_head(x, k1, b1, k2, b2, interpret=False):
+    """``fc2(gelu(fc1(x)))`` over channels-first ``[B, C, *spatial]``.
+
+    x is bf16 (the U-stack's mixed-precision activations); k/b are the f32
+    Dense params (``kernel`` layout [in, out] as in nn/layers.Dense); the
+    result is f32 ``[B, O, *spatial]``.  Matmul math matches the unfused
+    Dense path — bf16 operands, f32 accumulation — and gelu + the output
+    run in f32 (fewer roundings than the unfused bf16 path).  The spatial
+    grid is flattened onto the kernel's lane axis (free reshape: the
+    spatial dims are trailing/contiguous in this layout).
+    """
+    bsz, c = x.shape[:2]
+    spatial = x.shape[2:]
+    n = 1
+    for d in spatial:
+        n *= d
+    out = _fused_mlp_head_flat(
+        x.reshape(bsz, c, n), k1, b1, k2, b2, interpret
+    )
+    return out.reshape((bsz, k2.shape[1]) + spatial)
 
 
 # Policy: None = auto (TPU + bf16 only), True/False = forced.  Forcing on
