@@ -238,12 +238,15 @@ class UNOModel(nn.Module):
             # [B, O, S1, S2] -> [B, S1, S2, O] (free for O=1)
             return jnp.moveaxis(out, 1, -1)
 
+        # The projection head runs in f32 under EVERY policy: bf16-rounded
+        # head weights measurably floor converged quality (round-4 probes,
+        # RESULTS.md — 1.7% vs 0.8% held-out at the Darcy full budget) and
+        # the head is thin enough that f32 costs ~nothing.  Matches the
+        # fused kernel above (bf16 input, f32 weights/gelu/output).
         y = jnp.moveaxis(cur, 1, -1)
-        y = gelu(Dense(spec.proj_hidden, dtype=cdt, name="fc1")(y))
+        y = gelu(Dense(spec.proj_hidden, name="fc1")(y))
         if spec.proj_concat_lift:
             # UNO_P / UNO_S256 concat the lift activations into the projection
             # (navier_stokes_uno2d.py:124, :323)
-            y = jnp.concatenate([y, h.astype(cdt)], axis=-1)
-        return Dense(spec.out_dim, dtype=cdt, name="fc2")(y).astype(
-            jnp.float32
-        )
+            y = jnp.concatenate([y, h.astype(jnp.float32)], axis=-1)
+        return Dense(spec.out_dim, name="fc2")(y)

@@ -74,9 +74,13 @@ class Dense(nn.Module):
         # ~0.7 ms/step at the Darcy S=211 headline (round-4 profile,
         # layers.py:80 'loop fusion' rows).  CPU keeps f32-out + cast
         # (DotThunk layout limits); same single-rounding math.
+        import os
+
         out_t = (
             self.dtype
-            if self.dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+            if self.dtype == jnp.bfloat16
+            and jax.default_backend() != "cpu"
+            and not os.environ.get("UNO_TPU_F32_DENSE_OUT")
             else jnp.float32
         )
         y = jax.lax.dot_general(
@@ -84,13 +88,15 @@ class Dense(nn.Module):
             kernel.astype(self.dtype),
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=out_t,
-        ).astype(self.dtype)
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", _torch_bias_init(x.shape[-1]), (self.features,)
             )
-            y = y + bias.astype(self.dtype)
-        return y
+            # add the bias at the dot's output precision (f32 when out_t is
+            # f32 — the round-3 semantics the F32_DENSE_OUT knob restores)
+            y = y + bias.astype(y.dtype)
+        return y.astype(self.dtype)
 
     def materialize(self, in_features: int):
         """Fetch this layer's params without applying it — used by fused

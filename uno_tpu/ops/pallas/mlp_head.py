@@ -198,13 +198,30 @@ def _wspec(shape):
     )
 
 
+def _force_f32_dots() -> bool:
+    """f32 weights/dots are the DEFAULT (quality-verified).
+
+    The round-4 bisection probes (RESULTS.md: P3 vs P1/P2/full700) showed
+    bf16-rounded head weights floor full-budget Darcy at ~1.7% held-out
+    rel-L2 where the f32-dot head reaches ~0.8% — the prediction path's
+    precision caps converged quality, and the dots are thin enough that
+    f32 costs nothing measurable.  ``UNO_TPU_FUSED_HEAD_BF16=1`` opts back
+    into bf16 dots for experimentation; ``UNO_TPU_FUSED_HEAD_F32=1`` is
+    accepted as an explicit force-on (the probe-command spelling)."""
+    import os
+
+    if os.environ.get("UNO_TPU_FUSED_HEAD_BF16"):
+        return False
+    return True
+
+
 def _fwd_call(x, k1, b1, k2, b2, *, interpret=False):
     bsz, c, n = x.shape
     h = k1.shape[1]
     o = k2.shape[1]
     lblk = _pick_lblk(n, h, bwd=False)
     grid = (bsz, pl.cdiv(n, lblk))
-    f32_dots = bool(interpret)
+    f32_dots = bool(interpret) or _force_f32_dots()
     kb = jnp.bfloat16 if not f32_dots else jnp.float32
     return pl.pallas_call(
         functools.partial(_fwd_kernel, f32_dots=f32_dots),
@@ -226,7 +243,7 @@ def _bwd_call(x, g, k1, b1, k2, *, interpret=False):
     o = k2.shape[1]
     lblk = _pick_lblk(n, h, bwd=True)
     grid = (bsz, pl.cdiv(n, lblk))
-    f32_dots = bool(interpret)
+    f32_dots = bool(interpret) or _force_f32_dots()
     kb = jnp.bfloat16 if not f32_dots else jnp.float32
     gx, gk1, gb1, gk2, gb2 = pl.pallas_call(
         functools.partial(

@@ -49,7 +49,13 @@ def _mm(x: Array, wm: Array, ein: str) -> Array:
     bf16 activations keep bf16 operands/outputs (f32 accumulation) instead
     of promoting against the f32 table — under the bf16 policy a promoted
     f32 resample output doubled the W-path bytes AND de-bf16'd the whole
-    block epilogue behind it (k+w, norm, gelu ran f32 — round-4 profile)."""
+    block epilogue behind it (k+w, norm, gelu ran f32 — round-4 profile).
+    ``UNO_TPU_F32_RESAMPLE=1`` restores the round-3 f32-promote semantics
+    (the quality-bisection knob of RESULTS.md round 4)."""
+    import os
+
+    if os.environ.get("UNO_TPU_F32_RESAMPLE"):
+        return jnp.einsum(ein, x.astype(jnp.float32), jnp.asarray(wm))
     if x.dtype == jnp.bfloat16:
         wb = jnp.asarray(wm).astype(jnp.bfloat16)
         if jax.default_backend() == "cpu":
@@ -87,14 +93,19 @@ def _axis_mm(x: Array, wm: Array, ax: int) -> Array:
 
 
 def _axis_mm_fwd(x, wm, ax):
-    return _axis_mm_impl(x, wm, ax), (x.shape[ax], wm)
+    # dtype carried via a zero-size array (bare dtypes are not JAX types)
+    proto = jnp.zeros((0,), x.dtype)
+    return _axis_mm_impl(x, wm, ax), (x.shape[ax], proto, wm)
 
 
 def _axis_mm_bwd(ax, res, g):
-    n_in, wm = res
+    n_in, proto, wm = res
+    x_dt = proto.dtype
     lhs = _L[: g.ndim]
     out = lhs[:ax] + "z" + lhs[ax + 1 :]
-    gx = _mm(g, wm, f"{lhs},{lhs[ax]}z->{out}")
+    # cotangent must come back in the primal's dtype (g can be f32 when
+    # the fwd promoted, e.g. under UNO_TPU_F32_RESAMPLE)
+    gx = _mm(g, wm, f"{lhs},{lhs[ax]}z->{out}").astype(x_dt)
     return gx, jnp.zeros_like(wm)
 
 
