@@ -202,11 +202,12 @@ class UNOModel(nn.Module):
                 cur = cur[..., c_lo:]
 
         # --- projection -----------------------------------------------------
-        # fc1/fc2 matmuls follow the compute dtype (bf16 operands, f32
-        # accumulation — their inputs are already bf16 from the U-stack, so
-        # an f32 projection only added full-resolution conversion traffic:
-        # ~2 ms/step at S=211, round-4 profile).  The *output* is cast to
-        # f32 so the loss and its cotangent stay f32 regardless of policy.
+        # Head weights/dots/gelu/output run in f32 under EVERY policy —
+        # bf16-rounded head weights floor converged quality (round-4
+        # bisection, RESULTS.md) and the head is thin enough that f32
+        # costs ~nothing.  Only the *input* may be bf16 (the U-stack's
+        # activation dtype).  Both the fused kernel and the Dense
+        # fallback below implement this contract.
         from uno_tpu.ops.pallas.mlp_head import (
             fused_head_enabled,
             fused_head_interpret,
