@@ -74,11 +74,16 @@ def _dgelu_f32(z):
     return cdf + z * phi
 
 
-def _pick_lblk(n: int, hidden: int, bwd: bool) -> int:
-    """Largest lane block keeping the f32 hidden tiles inside a VMEM
-    budget (forward holds one [H, LBLK] f32 tile; backward ~two)."""
+def _pick_lblk(n: int, c: int, hidden: int, bwd: bool) -> int:
+    """Largest lane block keeping all f32 per-lane tiles inside a VMEM
+    budget.  Per-lane bytes calibrated against Mosaic's scoped-vmem
+    accounting at the f32-dot default (w=128 OOM'd the old hidden-only
+    estimate): forward holds the f32 x copy + z + a (~4*(C+3H) B/lane),
+    backward adds dz/dz_lo/gx and a second x-sized tile
+    (~4*(2C+6H) B/lane).  6 MB target leaves ~10 MB of the 16 MB scoped
+    limit for compiler-inserted copies."""
     budget = 6 * 1024 * 1024
-    per_lane = hidden * 4 * (2 if bwd else 1)
+    per_lane = 4 * ((2 * c + 6 * hidden) if bwd else (c + 3 * hidden))
     lblk = max(512, min(8192, (budget // per_lane) // 128 * 128))
     if n <= lblk:
         return max(128, -(-n // 128) * 128)  # single padded block
@@ -219,7 +224,7 @@ def _fwd_call(x, k1, b1, k2, b2, *, interpret=False):
     bsz, c, n = x.shape
     h = k1.shape[1]
     o = k2.shape[1]
-    lblk = _pick_lblk(n, h, bwd=False)
+    lblk = _pick_lblk(n, c, h, bwd=False)
     grid = (bsz, pl.cdiv(n, lblk))
     f32_dots = bool(interpret) or _force_f32_dots()
     kb = jnp.bfloat16 if not f32_dots else jnp.float32
@@ -241,7 +246,7 @@ def _bwd_call(x, g, k1, b1, k2, *, interpret=False):
     bsz, c, n = x.shape
     h = k1.shape[1]
     o = k2.shape[1]
-    lblk = _pick_lblk(n, h, bwd=True)
+    lblk = _pick_lblk(n, c, h, bwd=True)
     grid = (bsz, pl.cdiv(n, lblk))
     f32_dots = bool(interpret) or _force_f32_dots()
     kb = jnp.bfloat16 if not f32_dots else jnp.float32
