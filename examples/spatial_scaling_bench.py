@@ -94,6 +94,10 @@ def main():
 
     out = {
         "size": s, "batch": b, "iters": args.iters, "width": 16,
+        # NOT a hardware scaling measurement: the 8 "devices" are virtual
+        # CPU shards of one host thread pool (PERF.md) — <1x speedups
+        # quantify sharding overhead only.
+        "virtual_mesh": True,
         "sec_per_step": {
             "1_device": round(t_1dev, 3),
             "dp8": round(t_dp8, 3),
