@@ -18,6 +18,10 @@ Usage:  python examples/gen_profile_compare.py [--n 4] [--size 64]
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -12,7 +12,10 @@ them WITHOUT any retraining — the discretization-invariance claim of U-NO
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -13,7 +13,11 @@ Writes runs/spatial_scaling.json; PERF.md records the result.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -148,7 +148,7 @@ def train_ns2d(
 
     stopped = False
     # with-block: an exception inside the epoch loop must restore the
-    # signal handlers too (VERDICT r3 weak #4; tests/test_trainers.py)
+    # signal handlers too (VERDICT r3 weak #4; tests/test_graceful_stop.py)
     with GracefulStop() as stop:
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
