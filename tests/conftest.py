@@ -20,6 +20,17 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache (VERDICT r4 #7): the fast suite costs ~36
+# min cold on this 1-core host, almost all of it XLA compiles.  Caching
+# them under the repo's gitignored .jax_cache/ makes warm reruns minutes,
+# which matters on a machine where ALL jax work is serialized against the
+# TPU (CLAUDE.md).  min_compile_time 0.3 s skips only trivial compiles.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_raise_persistent_cache_errors", False)
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:  # older jax: XLA_FLAGS fallback above covers it

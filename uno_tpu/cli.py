@@ -67,6 +67,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="shard the leading grid axis over this many devices "
                         "(domain decomposition; combined with --data-parallel "
                         "the mesh is data x spatial)")
+    p.add_argument("--tensor-parallel", type=int, default=1, metavar="N",
+                   help="channel tensor-parallelism: shard every weight's "
+                        "out-channel axis over N devices (parallel/tp.py; "
+                        "mutually exclusive with --spatial — both use the "
+                        "'spatial' mesh axis)")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. 'cpu'); needed on "
                         "runtimes whose sitecustomize pins a backend")
@@ -114,6 +119,8 @@ def _build_cfg(preset, args):
         over["checkpoint_every"] = args.checkpoint_every
     if args.resume:
         over["resume"] = True
+    if getattr(args, "tensor_parallel", 1) > 1:
+        over["tensor_parallel"] = True
     if args.tensorboard:
         over["log_tensorboard"] = args.tensorboard
     cfg = dataclasses.replace(preset.train, **over)
@@ -342,22 +349,36 @@ def cmd_train(args) -> int:
     # single-host); must happen before any backend/mesh use
     initialize_from_env()
     preset = _build_cfg(get_preset(args.preset), args)
-    if args.spatial > 1:
+    if args.tensor_parallel > 1 and args.spatial > 1:
+        raise SystemExit(
+            "--tensor-parallel and --spatial are mutually exclusive: both "
+            "place work on the 'spatial' mesh axis (weights vs grid)"
+        )
+    if args.spatial > 1 or args.tensor_parallel > 1:
         # the Pallas fused projection head is a custom call GSPMD cannot
-        # partition over the spatial axes — fall back to the Dense path
-        # under domain decomposition (ops/pallas/mlp_head.py)
+        # partition over the spatial axes (grid- OR weight-sharded) — fall
+        # back to the Dense path (ops/pallas/mlp_head.py)
         from uno_tpu.ops.pallas.mlp_head import set_fused_head_mode
 
         set_fused_head_mode(False)
+    if args.tensor_parallel > 1:
+        # weight-sharded partitioning feeds XLA CPU's fft thunk layouts it
+        # rejects (RET_CHECK IsMonotonicWithDim0Major) — run the spectral
+        # transforms as partial-DFT matmuls on every backend under TP
+        # (already the TPU default; tests/test_tensor_parallel.py)
+        from uno_tpu.ops.spectral import set_dft_mode
+
+        set_dft_mode(True)
     model = build_model(
         preset.model, dtype=args.dtype, **preset.model_kwargs
     )
+    n_model = max(args.spatial, args.tensor_parallel)
     mesh = (
         make_mesh(
             n_data=None if args.data_parallel else 1,
-            n_spatial=args.spatial,
+            n_spatial=n_model,
         )
-        if (args.data_parallel or args.spatial > 1)
+        if (args.data_parallel or n_model > 1)
         else None
     )
     logger = MetricLogger(

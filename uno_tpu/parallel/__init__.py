@@ -11,6 +11,7 @@ from uno_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from uno_tpu.parallel.tp import place_state, shard_state_tp, tp_spec
 
 __all__ = [
     "batch_sharding",
@@ -22,4 +23,7 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "place_state",
+    "shard_state_tp",
+    "tp_spec",
 ]

@@ -32,6 +32,11 @@ class TrainConfig:
     # bit-match the reference schedule.
     compat_even_epoch_scheduler: bool = False
     log_tensorboard: Optional[str] = None
+    # Channel tensor-parallelism (parallel/tp.py): shard every parameter's
+    # out-channel axis over the mesh's 'spatial' axis instead of
+    # replicating.  Mutually exclusive with spatial domain decomposition
+    # (both use the 'spatial' mesh axis).
+    tensor_parallel: bool = False
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
@@ -141,7 +146,7 @@ class DataPlacer:
     axis, so trainers force drop_remainder.
     """
 
-    def __init__(self, mesh, *arrays):
+    def __init__(self, mesh, *arrays, spatial: bool = True):
         import os
 
         self.mesh = mesh
@@ -183,9 +188,12 @@ class DataPlacer:
             # decomposition for 421^2 / 256^2 grids), the grid axis is
             # sharded via an in-jit constraint — device_put demands exact
             # divisibility, while GSPMD pads uneven grid sizes internally.
+            # Under tensor-parallelism the 'spatial' mesh axis shards
+            # *weights* (parallel/tp.py), so the grid axis must NOT also
+            # be sharded over it — trainers pass spatial=False then.
             self.spatial_constraint = (
                 batch_spatial_sharding(mesh)
-                if mesh.shape.get("spatial", 1) > 1
+                if spatial and mesh.shape.get("spatial", 1) > 1
                 else None
             )
 

