@@ -92,7 +92,7 @@ def darcy_model_flops(batch, s, width, pad):
 
 def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
                 dtype=None, fused_adam: bool = False, pad_to=None,
-                resident: bool = False):
+                resident: bool = False, batch: int = 16):
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +101,7 @@ def bench_darcy(width: int = 32, iters: int = ITERS, tag: str = "",
     from uno_tpu.optim import complex_adam, step_lr
     from uno_tpu.train.state import TrainState, apply_updates
 
-    BATCH, S, WIDTH, PAD = 16, 211, width, 12
+    BATCH, S, WIDTH, PAD = batch, 211, width, 12
     model = build_model(
         "uno9", in_width=3, width=WIDTH, pad=PAD, dtype=dtype, pad_to=pad_to
     )
@@ -586,6 +586,14 @@ def main(full: bool = True) -> None:
     _record(bench_darcy(dtype="bfloat16", tag="darcy_s211_uno9_bf16_mixed"))
     _record(bench_darcy(tag="darcy_s211_uno9_f32 (darcy_flow_main.py:44-117)"))
     if full:
+        # batch-scaling rows (VERDICT r4 #5): per-chip throughput as the
+        # deployment lever a production user would pull — fixed weights
+        # traffic amortizes over more samples, so samples/s/chip rises
+        # past the reference's batch-16 config.
+        _record(bench_darcy(dtype="bfloat16", batch=32,
+                            tag="darcy_s211_uno9_bf16_b32"))
+        _record(bench_darcy(dtype="bfloat16", batch=64,
+                            tag="darcy_s211_uno9_bf16_b64"))
         for cfg in bench_width_scaling():
             _record(cfg)
         for cfg in bench_spectral_roofline():

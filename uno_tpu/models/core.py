@@ -157,6 +157,28 @@ class UNOModel(nn.Module):
         base = v.shape[2:]
 
         # --- U-stack --------------------------------------------------------
+        # Skip concats are carried as TUPLES of channel pieces on the 2D
+        # path: SpectralConv/PointwiseOp contract each piece against its
+        # Ci rows and sum (exactly the concatenated math by linearity), so
+        # the concatenated activation is never written to HBM.  Measured
+        # round 5 (Darcy S=211, same relay session A/B): f32 22.2->21.7
+        # ms/step (the ~0.5 GB concat is pure bytes there), but bf16
+        # 13.4->14.2 ms — the halved-byte concat is cheap while splitting
+        # the per-piece DFT/resample matmuls shrinks their batch dims, so
+        # fusion is dtype-gated: ON for f32 2D, OFF under bf16.
+        # UNO_TPU_FUSED_SKIPS=1 / UNO_TPU_NO_FUSED_SKIPS=1 force either way.
+        import os
+
+        fuse_skips = nd == 2 and not os.environ.get("UNO_TPU_NO_FUSED_SKIPS")
+        if cdt == jnp.bfloat16 and not os.environ.get("UNO_TPU_FUSED_SKIPS"):
+            fuse_skips = False
+
+        def _nch(t):
+            return (
+                sum(p.shape[1] for p in t) if isinstance(t, tuple)
+                else t.shape[1]
+            )
+
         outs = []
         cur = v
         block_cls = (
@@ -167,7 +189,7 @@ class UNOModel(nn.Module):
         for i, blk in enumerate(spec.blocks):
             out_size = tuple(_scale(d, g) for d, g in zip(base, blk.grid))
             cur = block_cls(
-                in_codim=cur.shape[1],
+                in_codim=_nch(cur),
                 out_codim=blk.channels,
                 modes=blk.modes,
                 normalize=blk.normalize,
@@ -177,20 +199,32 @@ class UNOModel(nn.Module):
             )(cur, out_size)
             if blk.skip is not None:
                 src = v if blk.skip == LIFT else outs[blk.skip]
+                if isinstance(src, tuple):  # a skipped block's own concat
+                    src = jnp.concatenate(src, axis=1)
                 if nd == 3:
                     # 3D skips are trilinear-resized to the current grid
                     # (navier_stokes_uno3d.py:132-143)
                     src = resize(
                         src, cur.shape[2:], (2, 3, 4), "linear", True, False
                     )
-                cur = jnp.concatenate([cur, src], axis=1)
+                cur = (cur, src) if fuse_skips else jnp.concatenate(
+                    [cur, src], axis=1
+                )
             outs.append(cur)
 
         # --- crop padding ---------------------------------------------------
         if crop_kind == "grid2":
             lo1, lo2 = pad_cfg[-2][0], pad_cfg[-1][0]
             s1, s2 = orig_sizes[-2], orig_sizes[-1]
-            if cur.shape[-2] != s1 or cur.shape[-1] != s2:
+            if isinstance(cur, tuple):
+                # fused final skip: crop each piece and concatenate at the
+                # CROPPED grid — one materialization where the unfused path
+                # paid concat-at-padded-grid + crop copy
+                cur = jnp.concatenate(
+                    [p[..., lo1 : lo1 + s1, lo2 : lo2 + s2] for p in cur],
+                    axis=1,
+                )
+            elif cur.shape[-2] != s1 or cur.shape[-1] != s2:
                 cur = cur[..., lo1 : lo1 + s1, lo2 : lo2 + s2]
         else:  # time: crop floor(crop_mult * pad) per padded side
             lo, hi = pad_cfg[-1]

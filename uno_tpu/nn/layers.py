@@ -163,9 +163,10 @@ class SpectralConv(nn.Module):
     modes: Tuple[int, ...]
 
     @nn.compact
-    def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
+    def __call__(self, x, out_size: Tuple[int, ...]) -> Array:
         ndim = len(self.modes)
-        assert x.ndim == 2 + ndim, (x.shape, self.modes)
+        x0 = x[0] if isinstance(x, tuple) else x
+        assert x0.ndim == 2 + ndim, (x0.shape, self.modes)
         weights = self.param(
             "weights",
             lambda key, *_: spectral_weight_init(
@@ -175,6 +176,9 @@ class SpectralConv(nn.Module):
         fn = _SPECTRAL_FNS[ndim]
         if ndim == 1:
             return fn(x, weights, out_size[0], self.modes[0])
+        if isinstance(x, tuple) and ndim != 2:
+            # fused skip-concat inputs are a 2D-only path (models/core.py)
+            x = jnp.concatenate(x, axis=1)
         return fn(x, weights, tuple(out_size), tuple(self.modes))
 
 
@@ -192,17 +196,18 @@ class PointwiseOp(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
+    def __call__(self, x, out_size: Tuple[int, ...]) -> Array:
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (self.in_codim, self.out_codim)
         )
         bias = self.param(
             "bias", _torch_bias_init(self.in_codim), (self.out_codim,)
         )
-        in_grid = x.shape[2:]
+        parts = x if isinstance(x, tuple) else (x,)
+        in_grid = parts[0].shape[2:]
         axes = tuple(range(2, 2 + self.ndim))
 
-        def conv(z):
+        def conv1(z, k):
             # channel mixing with the output layout chosen by XLA (a
             # dot_general + moveaxis forced a full-activation transpose
             # copy per block — profiled rounds 3/4).  One einsum for both
@@ -214,7 +219,7 @@ class PointwiseOp(nn.Module):
             # einsum form is what the TPU step runs and what
             # tests/test_bf16_policy.py checks numerically).
             z = z.astype(self.dtype)
-            k = kernel.astype(self.dtype)
+            k = k.astype(self.dtype)
             if self.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
                 y = jax.lax.dot_general(
                     z, k, (((1,), (0,)), ((), ())),
@@ -223,7 +228,21 @@ class PointwiseOp(nn.Module):
                 return jnp.moveaxis(y, -1, 1).astype(self.dtype)
             return _chan_mix(z, k)
 
-        def do_resize(z):
+        def conv(z):
+            # tuple input = fused skip-concat (models/core.py): contract
+            # each channel piece against its kernel rows and sum — same
+            # math as the concatenated dot, no materialized concat.
+            if not isinstance(z, tuple):
+                return conv1(z, kernel)
+            off = 0
+            y = None
+            for p in z:
+                o = conv1(p, kernel[off : off + p.shape[1]])
+                off += p.shape[1]
+                y = o if y is None else y + o
+            return y
+
+        def resize1(z):
             if self.ndim == 1:
                 return resize(z, out_size, axes, "linear", True, True)
             if self.ndim == 2:
@@ -233,6 +252,11 @@ class PointwiseOp(nn.Module):
             # the truncation's irfftn, so this is the identity — kept for
             # parity with integral_operators.py:465-467.
             return resize(z, out_size, axes, "linear", True, False)
+
+        def do_resize(z):
+            if isinstance(z, tuple):
+                return tuple(resize1(p) for p in z)
+            return resize1(z)
 
         def resize_flops(ch: int) -> float:
             dims = list(in_grid)
@@ -306,7 +330,7 @@ class OperatorBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, out_size: Tuple[int, ...]) -> Array:
+    def __call__(self, x, out_size: Tuple[int, ...]) -> Array:
         ndim = len(self.modes)
         k = SpectralConv(self.in_codim, self.out_codim, self.modes, name="conv")(
             x, out_size
@@ -329,6 +353,8 @@ class OperatorBlock(nn.Module):
             # raises TypeError).  Working definition: identity skip added
             # after normalisation, before the nonlinearity; requires
             # matching channel count and grid.
+            if isinstance(x, tuple):
+                raise ValueError("residual block cannot take a fused-skip tuple")
             if x.shape != out.shape:
                 raise ValueError(
                     f"residual block needs matching shapes, {x.shape} vs {out.shape}"

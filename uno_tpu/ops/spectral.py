@@ -336,20 +336,43 @@ def _dft_conv1d_bwd(d1, m1, in_size, xdtype, res, g):
 _dft_conv1d.defvjp(_dft_conv1d_fwd, _dft_conv1d_bwd)
 
 
+def _ci_splits(parts, w):
+    """Channel offsets partitioning ``w``'s Ci axis across input parts."""
+    sizes = [p.shape[1] for p in parts]
+    assert sum(sizes) == w.shape[0], (sizes, w.shape)
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
+    return offs
+
+
 def _dft_conv2d_impl(x, w, out_size, modes):
+    """x may be a tuple of channel pieces (a fused skip-concat): the
+    transforms run per piece and the mode contraction sums the pieces'
+    contributions against the matching Ci rows of ``w`` — identical math
+    to transforming the concatenated tensor (transforms are per-channel,
+    the contraction is linear in Ci), without ever materializing the
+    concat in HBM (round-5 profile: ~0.7 ms / ~0.7 GB per Darcy step)."""
     from uno_tpu.ops import dft
 
     d1, d2 = out_size
     m1, m2 = modes
-    h, w_in = x.shape[-2], x.shape[-1]
+    parts = x if isinstance(x, tuple) else (x,)
+    h, w_in = parts[0].shape[-2], parts[0].shape[-1]
     rows = tuple(range(m1)) + tuple(range(h - m1, h))
-    xp = dft.fwd_real(_dft_in(x), -2, h, rows)
-    xp = dft.fwd_cplx(xp, -1, w_in, range(m2))
-    out = _cmul_planes(xp, w)  # (B, Co, 2, 2*m1, m2)
+    offs = _ci_splits(parts, w)
+    xps = []
+    out = None
+    for i, p in enumerate(parts):
+        xp = dft.fwd_real(_dft_in(p), -2, h, rows)
+        xp = dft.fwd_cplx(xp, -1, w_in, range(m2))
+        xps.append(xp)
+        o = _cmul_planes(xp, w[offs[i] : offs[i + 1]])  # (B, Co, 2, 2*m1, m2)
+        out = o if out is None else out + o
     n_top, idx_out = _keep_idx(m1, d1)
     kept = _slice_pm(out, -2, m1, n_top)
     yp = dft.inv_cplx(kept, -2, d1, idx_out)
-    return dft.inv_real(yp, -1, d2), xp
+    return dft.inv_real(yp, -1, d2), tuple(xps)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -358,8 +381,8 @@ def _dft_conv2d(x, w, out_size, modes, in_size, xdtype):
 
 
 def _dft_conv2d_fwd(x, w, out_size, modes, in_size, xdtype):
-    y, xp = _dft_conv2d_impl(x, w, out_size, modes)
-    return y, (xp, w)
+    y, xps = _dft_conv2d_impl(x, w, out_size, modes)
+    return y, (xps, w)
 
 
 def _dft_conv2d_bwd(out_size, modes, in_size, xdtype, res, g):
@@ -367,17 +390,26 @@ def _dft_conv2d_bwd(out_size, modes, in_size, xdtype, res, g):
 
     d1, d2 = out_size
     m1, m2 = modes
-    xp, w = res
+    xps, w = res
     h, w_in = in_size[-2], in_size[-1]
     rows = tuple(range(m1)) + tuple(range(h - m1, h))
     n_top, idx_out = _keep_idx(m1, d1)
     gyp = dft.t_inv_real(_dft_in(g), -1, m2, d2)
     gkept = dft.t_inv_cplx(gyp, -2, d1, idx_out)
     gout = _unslice_pm(gkept, -2, m1, n_top)
-    gxp = _cmul_planes_t(gout, w)
-    gxp = dft.t_fwd_cplx(gxp, -1, w_in, range(m2))
-    gx = dft.t_fwd_real(gxp, -2, h, rows)
-    return gx.astype(xdtype), _cmul_grad_w(xp, gout)
+    offs = [0]
+    for xp in xps:
+        offs.append(offs[-1] + xp.shape[1])
+    gxs = []
+    gws = []
+    for i, xp in enumerate(xps):
+        gxp = _cmul_planes_t(gout, w[offs[i] : offs[i + 1]])
+        gxp = dft.t_fwd_cplx(gxp, -1, w_in, range(m2))
+        gxs.append(dft.t_fwd_real(gxp, -2, h, rows).astype(xdtype))
+        gws.append(_cmul_grad_w(xp, gout))
+    gw = gws[0] if len(gws) == 1 else jnp.concatenate(gws, axis=0)
+    gx = tuple(gxs) if len(gxs) > 1 else gxs[0]
+    return gx, gw
 
 
 _dft_conv2d.defvjp(_dft_conv2d_fwd, _dft_conv2d_bwd)
@@ -483,23 +515,32 @@ def spectral_conv_2d(
     """
     d1, d2 = out_size
     m1, m2 = modes
-    h = x.shape[-2]
-    if m1 > d1 or m1 > h or m2 > d2 // 2 + 1 or m2 > x.shape[-1] // 2 + 1:
-        raise ValueError(f"modes {modes} incompatible with in {x.shape} out {out_size}")
+    parts = x if isinstance(x, tuple) else (x,)
+    h = parts[0].shape[-2]
+    if m1 > d1 or m1 > h or m2 > d2 // 2 + 1 or m2 > parts[0].shape[-1] // 2 + 1:
+        raise ValueError(
+            f"modes {modes} incompatible with in {parts[0].shape} out {out_size}"
+        )
 
     w = jnp.concatenate([weights[0], weights[1]], axis=2)  # (Ci, Co, 2*m1, m2)
 
     if _dft_enabled():
         return _dft_conv2d(
-            x, w, (d1, d2), (m1, m2), x.shape[-2:], x.dtype.name
+            x, w, (d1, d2), (m1, m2), parts[0].shape[-2:],
+            parts[0].dtype.name,
         )
 
-    x_ft = jnp.fft.rfft2(x.astype(jnp.float32), norm="forward")
-
-    corners = jnp.concatenate(
-        [x_ft[:, :, :m1, :m2], x_ft[:, :, h - m1 :, :m2]], axis=2
-    )  # (B, Ci, 2*m1, m2)
-    out = _complex_mode_matmul(corners, w)  # (B, Co, 2*m1, m2)
+    # FFT fallback path: per-part transforms + Ci-sliced contraction summed
+    # (same fused-skip linearity as the DFT path above)
+    offs = _ci_splits(parts, w)
+    out = None
+    for i, p in enumerate(parts):
+        x_ft = jnp.fft.rfft2(p.astype(jnp.float32), norm="forward")
+        corners = jnp.concatenate(
+            [x_ft[:, :, :m1, :m2], x_ft[:, :, h - m1 :, :m2]], axis=2
+        )  # (B, Ci_k, 2*m1, m2)
+        o = _complex_mode_matmul(corners, w[offs[i] : offs[i + 1]])
+        out = o if out is None else out + o
     out_top, out_bot = out[:, :, :m1], out[:, :, m1:]
 
     # Assemble the zero-embedded output rows.  When 2*m1 > d1 the reference's
