@@ -20,13 +20,18 @@ set -x
 cd /root/repo
 
 (
-  # wait for the jsonl to appear (gen + compile phase), then watch staleness
+  # Wait for the jsonl to have CONTENT (first epoch line), not merely to
+  # exist: the CLI opens the --log file at startup, so an existence gate
+  # passes during generation and the staleness rule then kills a healthy
+  # gen phase (exactly what happened on the first launch of this chain —
+  # 02:52 UTC kill at age=655 s while 5000 trajectories were generating).
+  # Gen-phase hangs are covered by the outer `timeout`, not the watchdog.
   while [ -f /tmp/ns2d_r5b.pid ] && kill -0 "$(cat /tmp/ns2d_r5b.pid)" 2>/dev/null \
-        && [ ! -f runs/ns2d_full_r5.jsonl ]; do sleep 60; done
-  sleep 300
+        && [ ! -s runs/ns2d_full_r5.jsonl ]; do sleep 60; done
+  sleep 60
   while [ -f /tmp/ns2d_r5b.pid ] && kill -0 "$(cat /tmp/ns2d_r5b.pid)" 2>/dev/null; do
     age=$(( $(date +%s) - $(stat -c %Y runs/ns2d_full_r5.jsonl 2>/dev/null || echo 0) ))
-    if [ "$age" -gt 600 ] && [ "$age" -lt 100000 ]; then
+    if [ "$age" -gt 900 ] && [ "$age" -lt 100000 ]; then
       echo "WATCHDOG: jsonl stale ${age}s at $(date) — stopping trainer"
       P=$(cat /tmp/ns2d_r5b.pid)
       kill -TERM "$P" 2>/dev/null; sleep 240   # GracefulStop: finish epoch + save
@@ -39,7 +44,7 @@ cd /root/repo
 ) >> runs/ns2d_watchdog.log 2>&1 &
 WATCHDOG=$!
 
-timeout -k 600 -s TERM 8300 python -m uno_tpu.cli train --preset ns2d --generate \
+timeout -k 600 -s TERM 7600 python -m uno_tpu.cli train --preset ns2d --generate \
   --ntrain 4000 --nval 500 --ntest 500 --epochs 200 --dtype bfloat16 \
   --checkpoint-every 2 \
   --data-cache runs/ns2d_full_data.npz --checkpoint-dir runs/ns2d_full_r5 \
