@@ -107,3 +107,56 @@ def test_checkpoint_resume(tmp_path):
     train_darcy(model, x, y, x[:4], y[:4], x[:4], y[:4], cfg2, logger=logger2)
     epochs = [r["epoch"] for r in logger2.records if "epoch" in r]
     assert epochs[0] == 2, epochs  # resumed, not restarted
+
+
+def test_checkpoint_mixed_dtype_roundtrip(tmp_path):
+    """save()/restore() must round-trip a mixed-dtype tree exactly.
+
+    The save path flattens all device leaves of one dtype into a single
+    buffer for ONE d2h transfer per dtype (relay wedge mitigation) —
+    this pins that the regrouping reassembles every leaf bit-exactly,
+    including complex leaves (stored as (re, im) pairs) and scalars.
+    """
+    from uno_tpu.train.checkpoint import CheckpointManager
+
+    tree = {
+        "w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+        "b": jnp.ones((5,), jnp.bfloat16) * 1.5,
+        "k": (jnp.arange(6, dtype=jnp.complex64) * (1 + 2j)).reshape(2, 3),
+        "step": jnp.asarray(7, jnp.int32),
+        "epoch": 3,
+        "best_val": 0.25,
+    }
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save("state", tree)
+    restored = ckpt.restore("state", tree)
+    assert np.array_equal(np.asarray(restored["w"]), np.asarray(tree["w"]))
+    assert np.array_equal(np.asarray(restored["b"]), np.asarray(tree["b"]))
+    assert restored["k"].dtype == jnp.complex64
+    assert np.array_equal(np.asarray(restored["k"]), np.asarray(tree["k"]))
+    assert int(restored["step"]) == 7
+    assert int(np.asarray(restored["epoch"])) == 3
+    assert float(np.asarray(restored["best_val"])) == 0.25
+
+
+def test_checkpoint_survives_crash_between_swap_renames(tmp_path):
+    """A kill between save()'s two renames must not lose the resume point.
+
+    Watchdogs SIGKILL relay-wedged trainers mid-save; save() writes to a
+    tmp dir and swaps via renames, and restore()/exists() fall back to
+    the '.old' dir if the final rename never happened.
+    """
+    import os
+
+    from uno_tpu.train.checkpoint import CheckpointManager
+
+    tree = {"w": jnp.arange(4, dtype=jnp.float32), "epoch": 9}
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save("state", tree)
+    ckpt.save("state", tree)  # second save exercises the full swap path
+    # simulate dying after `rename(path, old)` but before `rename(tmp, path)`
+    os.rename(ckpt._path("state"), ckpt._path("state") + ".old")
+    assert ckpt.exists("state")
+    restored = ckpt.restore("state", tree)
+    assert int(np.asarray(restored["epoch"])) == 9
+    assert np.array_equal(np.asarray(restored["w"]), np.asarray(tree["w"]))

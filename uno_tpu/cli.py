@@ -613,6 +613,17 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # The session relay intermittently wedges a device call (d2h most often);
+    # the hang is silent — no exception, no log line.  Register SIGUSR1 to
+    # dump every thread's Python stack to stderr so run watchdogs can
+    # attribute a stall (kill -USR1 <pid>) before escalating to TERM.
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+    if hasattr(signal, "SIGUSR1"):
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     parser = argparse.ArgumentParser(prog="uno_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

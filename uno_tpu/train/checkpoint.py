@@ -17,20 +17,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _split_complex(x):
+    return jnp.stack([jnp.real(x), jnp.imag(x)], -1)
+
+
+@jax.jit
+def _concat_flat(xs):
+    return jnp.concatenate([jnp.ravel(a) for a in xs])
+
+
 def _to_numpy(tree):
     """Device->host with complex leaves encoded as trailing (re, im) pairs.
 
     Complex device-to-host transfers hang on some TPU runtimes (observed on
     the axon relay); the re/im split runs on device so only real arrays ever
     cross the boundary.  ``_decode`` (driven by a template) reassembles.
+
+    All device leaves of one dtype are flattened into a single buffer on
+    device and moved host-side in ONE transfer (then split/reshaped on the
+    host): a full train state is ~100 leaves, and each separate d2h is a
+    relay round-trip that has been observed to wedge — one call per dtype
+    (typically 2-3 total) minimizes exposure and save latency.
     """
 
-    def leaf(x):
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
-            x = jax.jit(lambda a: jnp.stack([jnp.real(a), jnp.imag(a)], -1))(x)
-        return np.asarray(x)
-
-    return jax.tree.map(leaf, tree)
+    leaves, treedef = jax.tree.flatten(tree)
+    prepared = [
+        _split_complex(x)
+        if isinstance(x, jax.Array)
+        and jnp.issubdtype(x.dtype, jnp.complexfloating)
+        else x
+        for x in leaves
+    ]
+    groups = {}
+    for i, x in enumerate(prepared):
+        if isinstance(x, jax.Array):
+            groups.setdefault(str(x.dtype), []).append(i)
+    out = list(prepared)
+    for idxs in groups.values():
+        arrs = [prepared[i] for i in idxs]
+        flat = _concat_flat(arrs)
+        host = np.asarray(flat)  # the one d2h for this dtype
+        off = 0
+        for i, a in zip(idxs, arrs):
+            n = int(np.prod(a.shape)) if a.shape else 1
+            out[i] = host[off : off + n].reshape(a.shape)
+            off += n
+    out = [x if isinstance(x, np.ndarray) else np.asarray(x) for x in out]
+    return jax.tree.unflatten(treedef, out)
 
 
 def _decode_against(template, restored):
@@ -103,20 +137,37 @@ class CheckpointManager:
         # state-dict form: plain nested dicts, round-trips through any store
         tree = serialization.to_state_dict(_to_numpy(tree))
         if self._orbax is not None:
-            path = self._path(name)
-            if os.path.exists(path):
-                import shutil
+            import shutil
 
-                shutil.rmtree(path)
-            self._orbax.save(path, tree)
+            # Never leave a window with no valid checkpoint on disk: write
+            # to a sibling tmp dir, then swap via renames.  Watchdogs
+            # SIGKILL wedged trainers mid-save (relay d2h hangs — see
+            # _to_numpy); the previous delete-then-save ordering would have
+            # lost the only resume point to such a kill.
+            path = self._path(name)
+            tmp, old = path + ".tmp", path + ".old"
+            for d in (tmp, old):
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            self._orbax.save(tmp, tree)
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
         else:
             save_pytree(self._path(name) + ".pkl", tree)
 
     def restore(self, name: str, template: Optional[Any] = None) -> Any:
         from flax import serialization
 
-        if self._orbax is not None and os.path.isdir(self._path(name)):
-            restored = self._orbax.restore(self._path(name))
+        if self._orbax is not None and (
+            os.path.isdir(self._path(name))
+            or os.path.isdir(self._path(name) + ".old")
+        ):
+            path = self._path(name)
+            if not os.path.isdir(path):
+                path += ".old"  # crashed between the save()-swap renames
+            restored = self._orbax.restore(path)
         else:
             path = self._path(name) + ".pkl"
             if not os.path.exists(path):
@@ -128,6 +179,8 @@ class CheckpointManager:
         return restored
 
     def exists(self, name: str) -> bool:
-        return os.path.isdir(self._path(name)) or os.path.exists(
-            self._path(name) + ".pkl"
+        return (
+            os.path.isdir(self._path(name))
+            or os.path.isdir(self._path(name) + ".old")
+            or os.path.exists(self._path(name) + ".pkl")
         )
