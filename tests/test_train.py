@@ -160,3 +160,27 @@ def test_checkpoint_survives_crash_between_swap_renames(tmp_path):
     restored = ckpt.restore("state", tree)
     assert int(np.asarray(restored["epoch"])) == 9
     assert np.array_equal(np.asarray(restored["w"]), np.asarray(tree["w"]))
+
+    # ...and a NEXT save that wedges mid-write (the leg-D/E failure mode)
+    # must still not orphan the fallback: .old is promoted back to primary
+    # before anything is deleted, so the state survives a kill inside the
+    # orbax write too.
+    if ckpt._orbax is not None:
+        class _Wedged(Exception):
+            pass
+
+        real_save = ckpt._orbax.save
+
+        def dying_save(path, tree):
+            raise _Wedged()
+
+        ckpt._orbax.save = dying_save
+        try:
+            ckpt.save("state", {"w": jnp.zeros(4), "epoch": 10})
+        except _Wedged:
+            pass
+        finally:
+            ckpt._orbax.save = real_save
+        assert ckpt.exists("state")
+        restored = ckpt.restore("state", tree)
+        assert int(np.asarray(restored["epoch"])) == 9  # the pre-crash state

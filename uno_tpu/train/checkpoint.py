@@ -146,11 +146,16 @@ class CheckpointManager:
             # lost the only resume point to such a kill.
             path = self._path(name)
             tmp, old = path + ".tmp", path + ".old"
-            for d in (tmp, old):
-                if os.path.exists(d):
-                    shutil.rmtree(d)
+            if not os.path.exists(path) and os.path.isdir(old):
+                # a prior save crashed between its two renames: promote the
+                # fallback back to primary BEFORE anything is deleted, so a
+                # wedge inside the orbax write below cannot orphan it
+                os.rename(old, path)
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
             self._orbax.save(tmp, tree)
             if os.path.exists(path):
+                shutil.rmtree(old, ignore_errors=True)
                 os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old, ignore_errors=True)
